@@ -1,0 +1,80 @@
+"""Pipeline configuration.
+
+All knobs (and their defaults) mirror the reference CLI / pipeline.yaml
+surface so the same semantics are reproducible:
+
+  * line grouping tolerance     — reference ingest/ocr.py:176 (line_y_tolerance_px=14)
+  * printed-page detection      — reference ingest/ocr.py:177-183
+  * span context window         — reference ingest/spans.py:153-160
+  * QA gate thresholds          — reference ingest/qa_metrics.py:6-11
+  * highlight/block shape gates — reference ingest/highlights.py:97-105
+
+The config is a plain frozen dataclass: it is captured by value into UDF
+closures (broadcast with the serialized function — tiny, no Spark broadcast
+variable needed) and hashed into lineage rows for reproducibility, mirroring
+the reference's config_hash echo (ingest/config.py:134-136).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class QaThresholds:
+    min_avg_word_conf: float = 58.0
+    max_garbage_ratio: float = 0.22
+    max_pipe_ratio: float = 0.04
+    min_alpha_ratio: float = 0.45
+
+
+@dataclass(frozen=True)
+class PrintedPageConfig:
+    detect: bool = True
+    top_band_frac: float = 0.12
+    min_conf: float = 40.0
+    roman_max_value: int = 80
+    roman_min_len: int = 2
+    arabic_switch_min: int = 10
+    max_top_lines: int = 5
+
+
+@dataclass(frozen=True)
+class SpanConfig:
+    k_before: int = 2
+    k_after: int = 2
+    min_overlap_frac: float = 0.02
+    min_x_overlap_px: int = 40
+    max_overlap_lines: int = 8
+
+
+@dataclass(frozen=True)
+class BlockFilterConfig:
+    min_area: int = 120
+    edge_margin_px: int = 25
+    max_hw_ratio: float = 3.0
+    max_height_frac: float = 0.15
+    frame_crop_frac: float = 0.02
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    line_y_tolerance_px: int = 14
+    clean_text: bool = True
+    qa: QaThresholds = field(default_factory=QaThresholds)
+    printed_page: PrintedPageConfig = field(default_factory=PrintedPageConfig)
+    spans: SpanConfig = field(default_factory=SpanConfig)
+    blocks: BlockFilterConfig = field(default_factory=BlockFilterConfig)
+    # scale knobs (Spark-side only; no reference analog — single process there)
+    salt_partitions: int = 0  # 0 = leave partitioning to AQE/source splits
+    arrow_max_records_per_batch: int = 512
+
+    def config_hash(self) -> str:
+        """Stable 16-hex-char config fingerprint (reference ingest/config.py:134-136)."""
+        payload = json.dumps(asdict(self), sort_keys=True, separators=(",", ":"))
+        return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,232 @@
+"""Printed page-number detection: strict roman parsing + candidate ranking.
+
+Semantics pinned to reference ingest/page_numbers.py:10-271. Detection is
+fully page-local (runs inside the extract pandas UDF); only the arabic
+mode-switch (ingest/page_numbers.py:274-294) crosses pages and is applied as
+a Spark window in operators/printed_page.py.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+ROMAN_CHARS = frozenset("ivxlcdm")
+ROMAN_VALUES = {"i": 1, "v": 5, "x": 10, "l": 50, "c": 100, "d": 500, "m": 1000}
+_SUBTRACTIVE = frozenset({"iv", "ix", "xl", "xc", "cd", "cm"})
+_ROMAN_STRICT = re.compile(r"^m{0,4}(cm|cd|d?c{0,3})(xc|xl|l?x{0,3})(ix|iv|v?i{0,3})$")
+_ARABIC = re.compile(r"^\d{1,4}$")
+_TERMINAL_ALNUM = re.compile(r"([A-Za-z0-9]+)[^A-Za-z0-9]*$")
+
+
+def normalize_roman(s: str) -> str:
+    """Keep only roman-numeral characters, lowercased."""
+    return "".join(ch for ch in s.lower() if ch in ROMAN_CHARS)
+
+
+def roman_to_int(s: str) -> int | None:
+    """Strict roman parser: canonical-form regex + subtractive-pair check.
+
+    Returns None for non-canonical forms like 'iix' or 'vx'
+    (reference ingest/page_numbers.py:22-44).
+    """
+    norm = normalize_roman(s)
+    if not norm or not _ROMAN_STRICT.fullmatch(norm):
+        return None
+    total, i = 0, 0
+    while i < len(norm):
+        cur = ROMAN_VALUES[norm[i]]
+        if i + 1 < len(norm) and cur < ROMAN_VALUES[norm[i + 1]]:
+            if norm[i : i + 2] not in _SUBTRACTIVE:
+                return None
+            total += ROMAN_VALUES[norm[i + 1]] - cur
+            i += 2
+        else:
+            total += cur
+            i += 1
+    return total
+
+
+def is_plausible_roman(s: str, *, min_len: int, max_value: int) -> bool:
+    norm = normalize_roman(s)
+    if len(norm) < max(1, int(min_len)):
+        return False
+    value = roman_to_int(norm)
+    return value is not None and value <= int(max_value)
+
+
+def infer_scan_side(scan_relpath: str) -> str:
+    """Filename-stem suffix '_l'/'_r' → page side hint
+    (reference ingest/page_numbers.py:57-63)."""
+    stem = scan_relpath.rsplit("/", 1)[-1].rsplit("\\", 1)[-1]
+    dot = stem.rfind(".")
+    if dot > 0:
+        stem = stem[:dot]
+    stem = stem.lower()
+    if stem.endswith("_l"):
+        return "left"
+    if stem.endswith("_r"):
+        return "right"
+    return "neutral"
+
+
+def _center_norm(bbox: list[int], page_width: int, page_height: int) -> tuple[float, float]:
+    w = max(1, int(page_width))
+    h = max(1, int(page_height))
+    return ((bbox[0] + bbox[2]) / 2.0 / w, (bbox[1] + bbox[3]) / 2.0 / h)
+
+
+def _preferred(x_norm: float, side: str) -> bool:
+    if side == "left":
+        return x_norm < 0.35
+    if side == "right":
+        return x_norm > 0.65
+    return True
+
+
+def _edge_score(x_norm: float, side: str) -> float:
+    if side == "left":
+        return 1.0 - x_norm
+    if side == "right":
+        return x_norm
+    return max(x_norm, 1.0 - x_norm)
+
+
+def _sort_key(c: dict[str, Any]) -> tuple:
+    """Total-order ranking key — every field participates so ties are
+    impossible and the selection is deterministic under any parallelism
+    (reference ingest/page_numbers.py:125-135)."""
+    return (
+        0 if c["_preferred"] else 1,
+        -float(c["_edge_score"]),
+        -float(c["conf"]),
+        float(c["y_center_norm"]),
+        str(c["text"]),
+        "" if c.get("line_id") is None else str(c["line_id"]),
+        str(c["source"]),
+        tuple(int(v) for v in c["bbox"]),
+    )
+
+
+def _mk_candidate(
+    text: str,
+    conf: float,
+    bbox: list[int],
+    source: str,
+    line_id: str | None,
+    page_width: int,
+    page_height: int,
+    side: str,
+) -> dict[str, Any]:
+    x_norm, y_norm = _center_norm(bbox, page_width, page_height)
+    return {
+        "text": text,
+        "conf": float(conf),
+        "bbox": [int(b) for b in bbox],
+        "x_center_norm": x_norm,
+        "y_center_norm": y_norm,
+        "source": source,
+        "line_id": line_id,
+        "_preferred": _preferred(x_norm, side),
+        "_edge_score": _edge_score(x_norm, side),
+    }
+
+
+def _terminal_token(line: dict[str, Any]) -> str | None:
+    """Last word's text, else trailing alnum run of the line text
+    (reference ingest/page_numbers.py:90-96)."""
+    words = line.get("words") or []
+    if words:
+        return str(words[-1].get("text", ""))
+    m = _TERMINAL_ALNUM.search(str(line.get("text", "")).strip())
+    return m.group(1) if m else None
+
+
+def detect_printed_page(
+    words: list[dict[str, Any]],
+    lines: list[dict[str, Any]],
+    *,
+    page_width: int,
+    page_height: int,
+    top_band_frac: float = 0.12,
+    min_conf: float = 40.0,
+    roman_min_len: int = 2,
+    roman_max_value: int = 80,
+    side: str = "neutral",
+    max_top_lines: int = 5,
+) -> dict[str, Any]:
+    """Rank top-band word and line-terminal candidates, prefer arabic over
+    roman, return {printed_page, printed_page_text, printed_page_kind}
+    (reference ingest/page_numbers.py:145-271, minus debug payload).
+    """
+    band_limit = max(0.0, float(top_band_frac)) * max(1, int(page_height))
+    min_confidence = float(min_conf)
+    cands: list[dict[str, Any]] = []
+
+    for w in words:
+        _, y_norm = _center_norm(w["bbox"], page_width, page_height)
+        if (y_norm * page_height) > band_limit:
+            continue
+        cands.append(
+            _mk_candidate(
+                str(w.get("text", "")), float(w.get("confidence", 0.0)), w["bbox"],
+                "word", None, page_width, page_height, side,
+            )
+        )
+
+    ordered_lines = sorted(
+        lines,
+        key=lambda ln: (
+            _center_norm(ln["bbox"], page_width, page_height)[1],
+            ln["bbox"][0],
+            ln["line_id"],
+        ),
+    )
+    for ln in ordered_lines[: max(0, int(max_top_lines))]:
+        _, y_norm = _center_norm(ln["bbox"], page_width, page_height)
+        if (y_norm * page_height) > band_limit:
+            continue
+        token = _terminal_token(ln)
+        if not token:
+            continue
+        line_words = ln.get("words") or []
+        conf = float(line_words[-1].get("confidence", 0.0)) if line_words else 0.0
+        cands.append(
+            _mk_candidate(
+                token, conf, ln["bbox"], "line", str(ln["line_id"]),
+                page_width, page_height, side,
+            )
+        )
+
+    arabic = [
+        c for c in cands
+        if c["conf"] >= min_confidence and _ARABIC.fullmatch(str(c["text"]))
+    ]
+    if arabic:
+        best = min(arabic, key=_sort_key)
+        return {
+            "printed_page": int(str(best["text"])),
+            "printed_page_text": str(best["text"]),
+            "printed_page_kind": "arabic",
+        }
+
+    romans: list[dict[str, Any]] = []
+    for c in cands:
+        if c["conf"] < min_confidence:
+            continue
+        norm = normalize_roman(str(c["text"]))
+        if len(norm) < int(roman_min_len):
+            continue
+        value = roman_to_int(norm)
+        if value is None or value > int(roman_max_value):
+            continue
+        romans.append({**c, "_roman_value": value})
+    if romans:
+        best = min(romans, key=_sort_key)
+        return {
+            "printed_page": int(best["_roman_value"]),
+            "printed_page_text": str(best["text"]),
+            "printed_page_kind": "roman",
+        }
+
+    return {"printed_page": None, "printed_page_text": None, "printed_page_kind": None}

@@ -1,0 +1,234 @@
+"""Document deduplication at training-corpus scale.
+
+All variants are expressed with native DataFrame ops only (explode, groupBy,
+joins) — no Python in the hot path — so every stage is whole-stage-codegen'd
+and shuffles are the explicit, necessary ones:
+
+  * exact:        1 shuffle (groupBy on content hash)
+  * minhash LSH:  explode shingles → 1 groupBy (signatures) → explode bands
+                  → 1 groupBy (buckets) → in-bucket pair join
+  * simhash:      explode tokens → 1 groupBy (64 bit-count aggs) → band join
+  * n-gram jaccard: explode shingles → self-join on shingle → 1 groupBy
+
+At 100 TB the LSH paths are the ones that survive: candidate generation is
+linear in corpus size, and only same-bucket pairs are ever joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_NORM_WS = r"\s+"
+
+
+def normalized_text(col: str = "text") -> F.Column:
+    """Whitespace-collapsed, lowercased content key for exact dedup."""
+    return F.lower(F.trim(F.regexp_replace(F.col(col), _NORM_WS, " ")))
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(content_hash, n_docs, keep_id) per duplicate group — hash-groupBy
+    exact dedup; map-side partial agg makes this one efficient shuffle."""
+    return (
+        df.select(F.sha2(normalized_text(text_col), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group."""
+    keep = exact_duplicate_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def word_shingles(text_col: str = "text", k: int = 3) -> F.Column:
+    """Distinct word k-shingles as an array column (native, no UDF)."""
+    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), _NORM_WS, " "))), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 64
+) -> DataFrame:
+    """(id, minhash array) via explode + per-seed min aggregation.
+
+    Each hash family member is ``xxhash64(seed_i, shingle)`` — a keyed 64-bit
+    hash; the signature is the element-wise min over a document's shingles.
+    One shuffle (groupBy id).
+    """
+    shingled = df.select(F.col(id_col), F.explode(word_shingles(text_col)).alias("sh"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}") for i in range(num_hashes)
+    ]
+    sig = shingled.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("minhash"),
+    )
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) from banded minhash.
+
+    Documents sharing ANY band bucket become candidates. Rows per band:
+    hash the band slice, groupBy (band, bucket), emit in-bucket pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.lit("band"), b,
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    ),
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col(f"l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard >= threshold.
+
+    Inverted-index self-join on shingles: |A∩B| from the join, sizes from a
+    per-doc count, jaccard by inclusion–exclusion. Optionally restricted to
+    LSH ``candidate_pairs`` (the 100 TB path — never all-pairs).
+    """
+    sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("shs"))
+    sizes = sh.select(F.col(id_col), F.size("shs").alias("n_sh"))
+    inv = sh.select(F.col(id_col), F.explode("shs").alias("sh"))
+
+    a = inv.select(F.col(id_col).alias("id_a"), "sh")
+    b = inv.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, ["sh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidate_pairs is not None:
+        inter = inter.join(candidate_pairs, ["id_a", "id_b"], "left_semi")
+
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash bigint): sign-sum of token-hash bits, fully relational.
+
+    Explode tokens, hash each with xxhash64, and for each of the 64 bit
+    positions sum +1/-1; the fingerprint sets bit i when the sum is
+    positive. One shuffle (groupBy id with 64 partial-aggregated sums).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), _NORM_WS, " "))), " ")
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+
+    fingerprint = None
+    for i in range(64):
+        bit = F.when(F.col(f"b_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4
+) -> DataFrame:
+    """Near-dup candidates: equal 16-bit simhash band ⇒ hamming ≤ 48 filter
+    stage; exact hamming check on the candidates (bit_count of xor)."""
+    sh = simhash64(df, text_col, id_col)
+    width = 64 // bands
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                ),
+            )
+        ).alias("band", "band_val"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as ``binary`` columns with a
+metadata struct; decode / feature-extraction / resize / frame-sampling are
+Arrow-batched ``mapInPandas`` stages. The actual codec step is STUBBED in
+this container (no PIL/ffmpeg available — see ``decode_image``): the Spark
+plumbing — schema, batch shape, partition behavior, UDF signature — is real
+and tested; a deterministic fake feature extractor stands in for the codec so
+the distributed path is exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+MEDIA_FEATURES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("content_sha256", T.StringType(), False),
+        T.StructField("feature_vec", T.ArrayType(T.FloatType(), False), False),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "Any":
+    """Decode an image payload. REAL decode requires an image codec library
+    that is not installed in this container; the pipeline uses
+    ``fake_features`` instead (deterministic, content-derived)."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "image decode requires an image codec (PIL/opencv) not present in "
+            "this environment; pipeline uses the deterministic stub features"
+        ) from exc
+    raise NotImplementedError("real decode path intentionally unimplemented in round 1")
+
+
+def fake_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic content-derived pseudo-features (codec stand-in):
+    dim floats from the sha256 digest, scaled to [0, 1)."""
+    digest = hashlib.sha256(payload).digest()
+    vals = np.frombuffer(digest[: dim * 4], dtype="<u4").astype("float64")
+    return [float(v % 10_000) / 10_000.0 for v in vals]
+
+
+def extract_media_features(
+    df: DataFrame, *, payload_col: str = "payload", meta_col: str = "media_meta", dim: int = 8
+) -> DataFrame:
+    """(url, payload, meta) → feature rows via an Arrow-batched map stage.
+
+    The batch shape and partitioning are exactly what a real decoder would
+    see; swapping ``fake_features`` for a codec is a one-line change.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict[str, Any]] = []
+            for url, payload, meta in zip(pdf["url"], pdf[payload_col], pdf[meta_col]):
+                data = bytes(payload) if payload is not None else b""
+                out.append(
+                    {
+                        "url": url,
+                        "media_type": (meta or {}).get("media_type", "image"),
+                        "n_bytes": len(data),
+                        "content_sha256": hashlib.sha256(data).hexdigest(),
+                        "feature_vec": fake_features(data, dim),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA_FEATURES.fields])
+
+    return df.select("url", payload_col, meta_col).mapInPandas(run, schema=MEDIA_FEATURES)
+
+
+def sample_frames(
+    df: DataFrame, *, every_ms: int = 1000, payload_col: str = "payload",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: explodes one row per
+    sampled timestamp (metadata-driven; the frame decode itself is the same
+    stubbed codec boundary as ``decode_image``)."""
+    ts = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(F.coalesce(F.col(f"{meta_col}.duration_ms"), F.lit(0)) - 1, F.lit(0)),
+        F.lit(int(every_ms)).cast("long"),
+    )
+    return (
+        df.filter(F.col(f"{meta_col}.media_type") == "video")
+        .select("url", payload_col, meta_col, F.explode(ts).alias("frame_ts_ms"))
+    )

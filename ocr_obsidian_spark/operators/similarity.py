@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — the exact baseline: broadcast the (small)
+    query set against the corpus, dot products via native higher-order
+    functions (zip_with + aggregate, JVM-side), per-query top-k via window;
+  * LSH-bucketed (random hyperplane signatures) — the scale path: corpus is
+    hashed once into sign-pattern buckets; queries only score against their
+    own bucket (and optionally neighboring probes), turning O(N·Q) into
+    O(N/2^bits · Q).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity(a: F.Column, b: F.Column) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank<=k); excludes self-matches.
+
+    The query side is broadcast — the corpus is never shuffled; ranking
+    shuffles only (query_id, candidate) pairs, already reduced to top-k per
+    partition by the window's partial sort.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(
+    vec_col: str, dim: int, n_bits: int = 16, seed: int = 7
+) -> F.Column:
+    """Random-hyperplane LSH signature as a bigint column (deterministic
+    projections from a fixed seed, embedded as literals)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    sig = F.lit(0).cast("long")
+    for i in range(n_bits):
+        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
+        d = _dot(F.col(vec_col), plane)
+        sig = sig.bitwiseXOR(
+            F.shiftleft(F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), i)
+        )
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's signature
+    bucket, then exact cosine re-ranking within the bucket."""
+    sig = hyperplane_signature(vec_col, dim, n_bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), sig.alias("sig")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), sig.alias("sig")
+        )
+    )
+    scored = (
+        c.join(q, "sig")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """(id_a, id_b, cosine >= threshold) — embedding-cosine near-dup pass:
+    LSH-bucket first (linear), exact cosine only within buckets."""
+    sig = hyperplane_signature(vec_col, dim, n_bits, seed)
+    t = df.select(F.col(id_col), F.col(vec_col), sig.alias("sig"))
+    l, r = t.alias("l"), t.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.sig") == F.col("r.sig")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine_similarity(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,107 @@
+"""Text analysis for training-data curation — all native column expressions
+(JVM-side, whole-stage codegen; no Python in any of these paths).
+
+  * token counting (whitespace + a BPE-ish sub-token regex)
+  * quality scoring (length / punctuation / stopword ratios)
+  * language ID (stopword-hit n-gram heuristic)
+  * document fingerprinting (normalized-content hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_WS = r"\s+"
+
+# tiny per-language stopword marker sets for the heuristic language scorer
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "that"],
+    "de": ["der", "die", "und", "das", "nicht", "ist"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+    "es": ["el", "los", "las", "una", "por", "que"],
+}
+
+_STOPWORDS = _LANG_MARKERS["en"] + ["a", "in", "it", "for", "on", "with"]
+
+
+def _norm(text_col: str) -> F.Column:
+    return F.lower(F.trim(F.regexp_replace(F.col(text_col), _WS, " ")))
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """whitespace tokens + BPE-ish sub-tokens (letter runs / digit runs /
+    single punctuation — a cheap proxy for byte-pair pretokenization)."""
+    norm = _norm(text_col)
+    ws_tokens = F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+    subtoken_re = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+    sub_tokens = F.size(F.regexp_extract_all(norm, F.lit(subtoken_re), 0))
+    return df.withColumn("n_ws_tokens", ws_tokens).withColumn("n_subword_tokens", sub_tokens)
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """length/punct/stopword quality features + a composite [0,1] score.
+
+    The shape mirrors the reference's QA gate (ingest/qa_metrics.py:81-108):
+    ratio features with thresholds, combined monotonically.
+    """
+    norm = _norm(text_col)
+    n = F.greatest(F.length(norm), F.lit(1))
+    n_alpha = F.length(F.regexp_replace(norm, r"[^a-z]", ""))
+    n_punct = F.length(F.regexp_replace(norm, r"[a-z0-9 ]", ""))
+    words = F.split(norm, " ")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    n_stop = F.size(F.filter(words, lambda w: w.isin(_STOPWORDS)))
+    mean_word_len = n.cast("double") / n_words
+
+    alpha_ratio = n_alpha.cast("double") / n
+    punct_ratio = n_punct.cast("double") / n
+    stop_ratio = n_stop.cast("double") / n_words
+    length_ok = (F.length(norm) >= 20) & (F.length(norm) <= 100000)
+    wordlen_ok = (mean_word_len >= 2.0) & (mean_word_len <= 12.0)
+
+    score = (
+        F.when(~length_ok, 0.0)
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                alpha_ratio * 0.5
+                + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
+                + F.when(wordlen_ok, 0.2).otherwise(0.0)
+                - F.when(punct_ratio > 0.2, 0.3).otherwise(0.0),
+            )
+        )
+        .cast("double")
+    )
+    return (
+        df.withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_score", F.greatest(score, F.lit(0.0)))
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    'und' (undetermined) when no marker hits."""
+    words = F.split(_norm(text_col), " ")
+    scores = {
+        lang: F.size(F.filter(words, lambda w, m=markers: w.isin(m)))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pick = F.lit("und")
+    # reversed so earlier languages win ties deterministically
+    for lang in reversed(langs):
+        pick = F.when(scores[lang] == best, F.lit(lang)).otherwise(pick)
+    pick = F.when(best > 0, pick).otherwise(F.lit("und"))
+    return df.withColumn("lang_id", pick)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint over normalized content (md5 +
+    xxhash64 — the 64-bit one is what a shuffle key would use)."""
+    norm = _norm(text_col)
+    return df.withColumn("fingerprint_md5", F.md5(norm)).withColumn(
+        "fingerprint64", F.xxhash64(norm)
+    )

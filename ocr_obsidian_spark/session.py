@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the extraction workload."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+# Executor Python workers resolve imports from PYTHONPATH, not the driver's
+# sys.path. On a real cluster the package ships via ``spark-submit
+# --py-files ocr_obsidian_spark.zip``; for local/driver-launched sessions we
+# export the package's parent directory so workers can import it from any cwd.
+_PKG_PARENT = str(Path(__file__).resolve().parent.parent)
+
+
+def build_session(
+    app_name: str = "ocr_obsidian_spark",
+    master: str | None = None,
+    *,
+    shuffle_partitions: int = 32,
+    arrow_max_records_per_batch: int = 512,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Session defaults chosen for the pipeline's shape:
+
+    * AQE on (runtime shuffle sizing + skew-join splitting);
+    * Arrow on with BOUNDED batches — pages vary 10^2–10^7 bytes, so small
+      record batches cap per-batch executor memory on the skew tail;
+    * shuffle partitions sized to local cores (overridden on clusters via
+      spark-submit conf).
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[*]"
+    worker_pythonpath = _PKG_PARENT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    os.environ["PYTHONPATH"] = worker_pythonpath
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(arrow_max_records_per_batch),
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
