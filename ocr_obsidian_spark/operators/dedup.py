@@ -207,11 +207,13 @@ def simhash_candidate_pairs(
         F.col(id_col),
         F.col("simhash"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.shiftright(F.col("simhash"), b * width).bitwiseAND(
-                    F.lit((1 << width) - 1)
-                ),
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("band", "band_val"),
     )

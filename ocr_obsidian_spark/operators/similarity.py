@@ -94,6 +94,20 @@ def hyperplane_signature(
     return sig
 
 
+def _table_signatures(vec_col: str, dim: int, n_bits: int, n_tables: int, seed: int) -> F.Column:
+    """array of (table, signature) — one signature per independent hash
+    table; multi-table OR-amplification is what buys recall at scale."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                hyperplane_signature(vec_col, dim, n_bits, seed + 1000 * t).alias("sig"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -103,22 +117,32 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     n_bits: int = 8,
+    n_tables: int = 8,
     seed: int = 7,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's signature
-    bucket, then exact cosine re-ranking within the bucket."""
-    sig = hyperplane_signature(vec_col, dim, n_bits, seed)
+    """Approximate top-k: candidates are corpus vectors sharing the query's
+    bucket in ANY of ``n_tables`` independent hash tables, then exact cosine
+    re-ranking within the candidate set. Cost is linear in corpus size
+    (each row hashes into n_tables buckets); recall is tuned by
+    (n_bits, n_tables) — OR-amplification across tables."""
+    sigs = _table_signatures(vec_col, dim, n_bits, n_tables, seed)
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), sig.alias("sig")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(sigs).alias("ts"),
+    ).select("neighbor_id", "c_vec", "ts.table", "ts.sig")
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), sig.alias("sig")
-        )
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(sigs).alias("ts"),
+        ).select("query_id", "q_vec", "ts.table", "ts.sig")
     )
     scored = (
-        c.join(q, "sig")
+        c.join(q, ["table", "sig"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",

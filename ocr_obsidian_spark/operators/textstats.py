@@ -25,7 +25,10 @@ _STOPWORDS = _LANG_MARKERS["en"] + ["a", "in", "it", "for", "on", "with"]
 
 
 def _norm(text_col: str) -> F.Column:
-    return F.lower(F.trim(F.regexp_replace(F.col(text_col), _WS, " ")))
+    # coalesce first: NULL text must behave like empty text, otherwise NULLs
+    # leak through ratio arithmetic and least()/greatest() silently drop them
+    # (a NULL page would otherwise score quality 1.0)
+    return F.lower(F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), _WS, " ")))
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -84,10 +87,11 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword hit counts,
     'und' (undetermined) when no marker hits."""
     words = F.split(_norm(text_col), " ")
-    scores = {
-        lang: F.size(F.filter(words, lambda w, m=markers: w.isin(m)))
-        for lang, markers in _LANG_MARKERS.items()
-    }
+
+    def marker_hits(markers: list[str]) -> F.Column:
+        return F.size(F.filter(words, lambda w: w.isin(markers)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in _LANG_MARKERS.items()}
     langs = list(scores)
     best = F.greatest(*[scores[lang] for lang in langs])
     pick = F.lit("und")

@@ -1,0 +1,78 @@
+"""Checkpoint-resume semantics (reference fail-closed overwrite analog,
+ingest/utils_paths.py:75-117) + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_obsidian_spark.operators.checkpoint import (
+    completed_buckets,
+    read_output,
+    run_resumable,
+    with_bucket,
+)
+from ocr_obsidian_spark.operators.extract import extract_pages
+
+
+def test_resume_skips_committed_buckets(spark, pages_df, tmp_path):
+    out = str(tmp_path / "run")
+    n1 = run_resumable(
+        spark, pages_df, extract_pages, out_dir=out, run_id="r1", n_buckets=8
+    )
+    assert n1 == 8
+    total = read_output(spark, out).count()
+    assert total == pages_df.count()
+
+    # simulate a partially-failed earlier attempt: second invocation must be
+    # a no-op (all buckets committed)
+    n2 = run_resumable(
+        spark, pages_df, extract_pages, out_dir=out, run_id="r1", n_buckets=8
+    )
+    assert n2 == 0
+    assert read_output(spark, out).count() == total
+    assert completed_buckets(spark, out, "r1") == set(range(8))
+
+
+def test_partial_resume_processes_only_missing(spark, pages_df, tmp_path):
+    out = str(tmp_path / "run2")
+    # first attempt only sees half the buckets (simulated partial failure)
+    half = with_bucket(pages_df, 8).filter(F.col("ck_bucket") < 4).drop("ck_bucket")
+    n1 = run_resumable(spark, half, extract_pages, out_dir=out, run_id="r1", n_buckets=8)
+    assert 0 < n1 <= 4
+    # resume with the full input: writes only the missing buckets
+    n2 = run_resumable(
+        spark, pages_df, extract_pages, out_dir=out, run_id="r1", n_buckets=8
+    )
+    assert n1 + n2 == 8
+    assert read_output(spark, out).count() == pages_df.count()
+
+
+def test_multimodal_stub_features(spark):
+    from ocr_obsidian_spark.operators.multimodal import extract_media_features
+
+    rows = [
+        ("u1", b"payload-bytes-1", {"media_type": "image", "mime": "image/png",
+                                    "width": 4, "height": 4, "duration_ms": None}),
+        ("u2", b"", {"media_type": "audio", "mime": "audio/wav",
+                     "width": None, "height": None, "duration_ms": 1500}),
+    ]
+    from ocr_obsidian_spark.operators.multimodal import MEDIA_META
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema=schema)
+    out = {r["url"]: r for r in extract_media_features(df).collect()}
+    assert out["u1"]["n_bytes"] == 15
+    assert len(out["u1"]["feature_vec"]) == 8
+    # deterministic: same payload → same features
+    out2 = {r["url"]: r for r in extract_media_features(df).collect()}
+    assert list(out["u1"]["feature_vec"]) == list(out2["u1"]["feature_vec"])
+    assert out["u1"]["media_type"] == "image"
+    assert out["u2"]["media_type"] == "audio"

@@ -1,0 +1,75 @@
+"""Dedup operators over the driver-provided documents table + synthetic dups."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_obsidian_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_duplicate_groups,
+    minhash_lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidate_pairs,
+    simhash64,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    # add exact dups (ids 100000+) and a near-dup (one word appended)
+    dup = base.limit(10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = base.limit(5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return base.unionByName(dup).unionByName(near).cache()
+
+
+def test_exact_dedup(docs):
+    n = docs.count()
+    groups = exact_duplicate_groups(docs)
+    dup_groups = groups.filter("n_docs > 1")
+    assert dup_groups.count() == 10
+    deduped = drop_exact_duplicates(docs)
+    assert deduped.count() == n - 10
+    # representative is the min id — original survives
+    assert deduped.filter(F.col("doc_id") >= 100000).filter(F.col("doc_id") < 200000).count() == 0
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    pairs = minhash_lsh_candidate_pairs(docs).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every exact dup pair must be a candidate
+    for i in range(10):
+        orig = docs.orderBy("doc_id").limit(10).collect()[i]["doc_id"]
+        assert (orig, orig + 100000) in found
+    # near-dups (one appended word) should bucket together for most docs
+    near_hits = sum((d, d + 200000) in found for d in range(5))
+    assert near_hits >= 3
+
+
+def test_ngram_jaccard_scores(docs):
+    cands = minhash_lsh_candidate_pairs(docs)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, candidate_pairs=cands)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    exact = [(a, b) for (a, b) in rows if a < 10 and b == a + 100000]
+    assert len(exact) == 10
+    assert all(abs(rows[p] - 1.0) < 1e-9 for p in exact)
+
+
+def test_simhash_stability_and_near_dup(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    for d in list(sh):
+        if d >= 100000 and d < 200000:
+            assert sh[d] == sh[d - 100000]  # identical text → identical simhash
+    pairs = simhash_candidate_pairs(docs)
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    exact = [(a, b) for (a, b) in ham if a < 10 and b == a + 100000]
+    assert len(exact) == 10 and all(ham[p] == 0 for p in exact)

@@ -1,0 +1,81 @@
+"""Text-analysis operators (all-native column expressions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_obsidian_spark.operators.textstats import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello world, 42 times!"), (2, ""), (3, "  spaced   out  ")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in with_token_counts(df).collect()}
+    assert rows[1]["n_ws_tokens"] == 4
+    # hello | world | , | 42 | times | !
+    assert rows[1]["n_subword_tokens"] == 6
+    assert rows[2]["n_ws_tokens"] == 0
+    assert rows[3]["n_ws_tokens"] == 2
+
+
+def test_quality_score_ranges(docs):
+    scored = with_quality_score(docs)
+    agg = scored.agg(
+        F.min("quality_score").alias("lo"), F.max("quality_score").alias("hi")
+    ).first()
+    assert 0.0 <= agg["lo"] <= agg["hi"] <= 1.0
+    # real prose should score comfortably above zero
+    assert scored.filter(F.col("quality_score") > 0.5).count() > 0
+
+
+def test_quality_score_degenerate_inputs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "@@@@ #### $$$$ %%%%"), (3, "the cat sat on the mat with a hat")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["quality_score"] for r in with_quality_score(df).collect()}
+    assert rows[1] == 0.0
+    assert rows[3] > rows[2]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of that house is to be"),
+            (2, "der Hund und die Katze ist nicht das Problem"),
+            (3, "le chat est la meilleure des choses une fois"),
+            (4, "zzz qqq xxx"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["lang_id"] for r in with_lang_id(df).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "de"
+    assert rows[3] == "fr"
+    assert rows[4] == "und"
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   world"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in with_fingerprint(df).collect()}
+    assert rows[1]["fingerprint_md5"] == rows[2]["fingerprint_md5"]
+    assert rows[1]["fingerprint64"] == rows[2]["fingerprint64"]
+    assert rows[1]["fingerprint_md5"] != rows[3]["fingerprint_md5"]
