@@ -208,7 +208,7 @@ def emit_notes(
 
     joined = spans.select("url", "spans").join(
         corpus.select(
-            "url", "book_id", "page_num", "scan_relpath", "lines",
+            "url", "book_id", "page_num", "scan_relpath", "lines_json",
             "printed_page", "printed_page_text", "printed_page_kind",
         ),
         "url",
@@ -219,8 +219,7 @@ def emit_notes(
         for pdf in batches:
             out: list[dict[str, Any]] = []
             for row in pdf.itertuples(index=False):
-                raw_lines = row.lines if row.lines is not None else []
-                lines = [dict(ln) for ln in raw_lines]
+                lines = json.loads(row.lines_json) if row.lines_json else []
                 by_id = {ln["line_id"]: ln for ln in lines}
                 for span in row.spans:
                     span = dict(span)

@@ -19,6 +19,7 @@ Scale design (10^12-doc target):
 
 from __future__ import annotations
 
+import json
 import re
 from typing import Any, Iterator
 
@@ -30,7 +31,7 @@ from ..functions.geometry import admit_word, group_lines
 from ..functions.qa import compute_text_metrics, is_garbage_page, low_quality_placeholder
 from ..functions.romans import detect_printed_page, infer_scan_side
 from ..functions.textclean import render_page_text, render_raw_text
-from ..schemas import CORPUS, LINE
+from ..schemas import CORPUS
 from ..sources.fixtures import parse_page_payload
 
 _URL_BOOK_RE = re.compile(r"/book_([^/]+)/page_(\d+)")
@@ -123,7 +124,7 @@ def _extract_one(url: str, html: Any, cfg: PipelineConfig) -> dict[str, Any]:
         "scan_relpath": scan_relpath,
         "page_width": page_width,
         "page_height": page_height,
-        "lines": lines,
+        "lines_json": json.dumps(lines, ensure_ascii=False, separators=(",", ":")),
         "raw_text": raw_text,
         "clean_text": clean,
         "extracted_text": extracted,
@@ -167,5 +168,9 @@ def extract_pages(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFr
     return src.mapInPandas(run, schema=CORPUS_OUT)
 
 
-def corpus_lines_schema() -> T.ArrayType:
-    return T.ArrayType(LINE, False)
+def parse_lines_json(lines_json: str | None) -> list[dict[str, Any]]:
+    """lines_json column → list of line dicts (executor-side helper for the
+    spans/emit consumers)."""
+    if not lines_json:
+        return []
+    return json.loads(lines_json)

@@ -1,20 +1,27 @@
-"""Cross-page printed-page mode switch — the pipeline's ONE shuffle.
+"""Cross-page printed-page mode switch — the pipeline's ONE shuffle,
+restructured so the shuffle only ever moves five narrow columns.
 
 Reference semantics (ingest/page_numbers.py:274-294 driven by
 ingest/ocr.py:184,223-227): pages are processed in order per book; once a
 page detects an arabic number >= arabic_switch_min, every LATER page's roman
 detection is nulled. The triggering page itself keeps its value, and arabic
 detections are never modified — so a page's roman result is nulled iff some
-strictly-earlier page of the same book detected arabic >= threshold.
-
-That is exactly an ordered window with a strictly-preceding frame:
+strictly-earlier page of the same book detected arabic >= threshold:
 
     max(is_strong_arabic) OVER (PARTITION BY book_id ORDER BY page_num
                                 ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)
 
-Deterministic under any parallelism (page_num is unique per book); at scale
-the shuffle is keyed on book_id — far smaller cardinality than url but far
-larger than executor count, so it parallelizes; AQE handles residual skew.
+Scale shape: the corpus rows are WIDE (nested lines/words, full text), and
+book cardinality can be tiny relative to cores — windowing the full corpus
+would funnel everything through few fat partitions. Instead:
+
+  1. project the five narrow detection columns and window THOSE (cheap
+     shuffle, bytes ~ 1% of the corpus);
+  2. keep only the urls whose roman result must be nulled — sparse by
+     construction (roman headers appearing after an arabic switch);
+  3. null via a broadcast left join on url — the corpus itself never
+     shuffles. ``broadcast_nulls=False`` falls back to a regular join for
+     the adversarial corpus where the null set is huge.
 """
 
 from __future__ import annotations
@@ -24,9 +31,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..config import DEFAULT_CONFIG, PipelineConfig
 
 
-def apply_printed_page_mode(
-    corpus: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
-) -> DataFrame:
+def roman_null_set(corpus: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """urls whose roman detection is suppressed by the per-book mode switch."""
     switch_min = int(cfg.printed_page.arabic_switch_min)
     w = (
         Window.partitionBy("book_id")
@@ -37,16 +43,27 @@ def apply_printed_page_mode(
         (F.col("printed_page_kind") == "arabic") & (F.col("printed_page") >= switch_min),
         F.lit(1),
     ).otherwise(F.lit(0))
-    arabic_mode = F.coalesce(F.max(strong_arabic).over(w), F.lit(0)) == 1
-    null_roman = arabic_mode & (F.col("printed_page_kind") == "roman")
-
-    # materialize the flag once so the window evaluates a single time
-    flagged = corpus.withColumn("_null_roman", null_roman)
-    keep = F.col("_null_roman").isNull() | ~F.col("_null_roman")
+    narrow = corpus.select("url", "book_id", "page_num", "printed_page", "printed_page_kind")
     return (
-        flagged.withColumn(
-            "printed_page", F.when(keep, F.col("printed_page"))
-        )
+        narrow.withColumn("_mode", F.coalesce(F.max(strong_arabic).over(w), F.lit(0)))
+        .filter((F.col("_mode") == 1) & (F.col("printed_page_kind") == "roman"))
+        .select("url")
+    )
+
+
+def apply_printed_page_mode(
+    corpus: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    *,
+    broadcast_nulls: bool = True,
+) -> DataFrame:
+    nulls = roman_null_set(corpus, cfg).withColumn("_null_roman", F.lit(True))
+    if broadcast_nulls:
+        nulls = F.broadcast(nulls)
+    keep = F.col("_null_roman").isNull()
+    return (
+        corpus.join(nulls, "url", "left_outer")
+        .withColumn("printed_page", F.when(keep, F.col("printed_page")))
         .withColumn("printed_page_text", F.when(keep, F.col("printed_page_text")))
         .withColumn("printed_page_kind", F.when(keep, F.col("printed_page_kind")))
         .drop("_null_roman")

@@ -79,18 +79,21 @@ def make_spans(
     if broadcast_triggers:
         right = F.broadcast(right)
 
-    joined = corpus.select("url", "page_num", "page_width", "page_height", "lines").join(
-        right, "url", "inner"
-    )
+    joined = corpus.select(
+        "url", "page_num", "page_width", "page_height", "lines_json"
+    ).join(right, "url", "inner")
     gated = filter_block_candidates(joined, cfg)
-    gated = gated.filter(F.size("candidates") > 0).filter(F.size("lines") > 0)
+    gated = gated.filter(F.size("candidates") > 0).filter(F.length("lines_json") > 2)
 
     @F.pandas_udf(T.ArrayType(SPAN, False))
     def spans_udf(
         lines_s: pd.Series, cands_s: pd.Series, page_num_s: pd.Series
     ) -> pd.Series:
+        import json as _json
+
         out: list[list[dict[str, Any]]] = []
-        for lines, cands, page_num in zip(lines_s, cands_s, page_num_s):
+        for lines_json, cands, page_num in zip(lines_s, cands_s, page_num_s):
+            lines = _json.loads(lines_json) if lines_json else []
             line_dicts = [
                 {"line_id": ln["line_id"], "bbox": list(ln["bbox"])} for ln in lines
             ]
@@ -112,5 +115,7 @@ def make_spans(
     return gated.select(
         "url",
         "page_num",
-        spans_udf(F.col("lines"), F.col("candidates"), F.col("page_num")).alias("spans"),
+        spans_udf(F.col("lines_json"), F.col("candidates"), F.col("page_num")).alias(
+            "spans"
+        ),
     ).filter(F.size("spans") > 0)

@@ -41,8 +41,18 @@ def run_pipeline(
     run_id: str = "run-0",
     book_meta: BookMeta | None = None,
     broadcast_triggers: bool = True,
+    persist_corpus: bool = True,
 ) -> PipelineResult:
-    corpus = apply_printed_page_mode(extract_pages(pages, cfg), cfg)
+    raw = extract_pages(pages, cfg)
+    if persist_corpus:
+        # stage boundary: the mode window + every downstream consumer read
+        # the one-pass extract output instead of re-running the UDF
+        # (the reference's single-OCR-pass rule, README.md:3-8; at cluster
+        # scale this boundary is the checkpointed corpus table itself)
+        from pyspark import StorageLevel
+
+        raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+    corpus = apply_printed_page_mode(raw, cfg)
     spans = notes = None
     if triggers is not None:
         spans = make_spans(corpus, triggers, cfg, broadcast_triggers=broadcast_triggers)

@@ -41,7 +41,15 @@ PAGES = T.StructType(
 )
 
 # canonical corpus produced by the extract stage (PageRecord analog,
-# reference ingest/types.py:45-56 + QA metric columns)
+# reference ingest/types.py:45-56 + QA metric columns).
+#
+# ``lines_json`` carries the nested line/word structure as one compact JSON
+# string per page — the same serialized form as the reference's JSONL corpus
+# (ingest/ocr.py:292-300). Storing it nested (array<struct<...>>) costs 5-30×
+# more CPU in Arrow transfer, Spark columnar cache, and parquet encode, and
+# every downstream consumer of it is a pandas UDF that wants dicts anyway;
+# a string column keeps the wide payload opaque to the engine and column
+# pruning makes narrow passes (mode window, metrics) nearly free.
 CORPUS = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -52,7 +60,7 @@ CORPUS = T.StructType(
         T.StructField("scan_relpath", T.StringType(), True),
         T.StructField("page_width", T.IntegerType(), True),
         T.StructField("page_height", T.IntegerType(), True),
-        T.StructField("lines", T.ArrayType(LINE, False), True),
+        T.StructField("lines_json", T.StringType(), True),
         T.StructField("raw_text", T.StringType(), True),
         T.StructField("clean_text", T.StringType(), True),
         T.StructField("char_count", T.LongType(), True),

@@ -48,7 +48,10 @@ def build_session(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # reuse python workers across tasks: each fresh worker pays ~0.3-0.7
+        # CPU-s of import/UDF-deserialize before its first row
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Cluster entry point: checkpoint-resumable extraction over a pages table.
+
+    spark-submit --py-files dist/ocr_obsidian_spark.zip \
+        scripts/run_extract_job.py \
+        --input /data/pages_parquet --out /data/corpus --run-id 2026-08-16T00 \
+        --buckets 4096
+
+Resumable: re-running with the same --run-id/--out skips committed buckets
+(ocr_obsidian_spark.operators.checkpoint). Lineage rows land under
+<out>/_lineage. At 10^12 docs, size --buckets so one bucket ≈ one
+executor-hour of work.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="pages table path (parquet)")
+    ap.add_argument("--out", required=True, help="output corpus directory")
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--salt-partitions", type=int, default=0)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("ocr-obsidian-extract").getOrCreate()
+
+    from ocr_obsidian_spark.config import DEFAULT_CONFIG, PipelineConfig
+    from ocr_obsidian_spark.operators.checkpoint import read_output, run_resumable
+    from ocr_obsidian_spark.operators.extract import extract_pages
+    from ocr_obsidian_spark.operators.lineage import partition_metrics
+    from ocr_obsidian_spark.operators.printed_page import apply_printed_page_mode
+
+    cfg = PipelineConfig(salt_partitions=args.salt_partitions) if args.salt_partitions else DEFAULT_CONFIG
+
+    pages = spark.read.parquet(args.input)
+    n_new = run_resumable(
+        spark,
+        pages,
+        lambda df: extract_pages(df, cfg),
+        out_dir=args.out,
+        run_id=args.run_id,
+        n_buckets=args.buckets,
+    )
+    print(f"committed {n_new} new buckets")
+
+    corpus = apply_printed_page_mode(read_output(spark, args.out), cfg)
+    metrics = partition_metrics(
+        corpus, run_id=args.run_id, stage="extract", config_hash=cfg.config_hash()
+    )
+    metrics.write.mode("append").parquet(f"{args.out}/_lineage")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
