@@ -473,6 +473,19 @@ def q_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-bucketed approximate NN (coarse quantizer + n_probe cells —
+    approximate by design, rows-only check)."""
+    from ocr_obsidian_spark.operators.similarity import ivf_topk, sample_centroids
+
+    emb = _t(spark, sf, "embeddings")
+    cents = sample_centroids(emb, 8)
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, q, cents, k=5, n_probe=3).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_bounds": q_agg_bounds,
@@ -507,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
     }
 
 

@@ -157,6 +157,98 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    Centroids are driver-supplied literals (e.g. seeded k-means or a
+    deterministic sample); assignment is a pure column expression —
+    argmin over K squared distances, JVM-side, no shuffle.
+    """
+    dists = []
+    for c in centroids:
+        lit = F.array(*[F.lit(float(v)) for v in c])
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dists.append(d2)
+    best = F.least(*dists) if len(dists) > 1 else dists[0]
+    cell = F.lit(len(centroids) - 1)
+    for i in range(len(centroids) - 2, -1, -1):
+        cell = F.when(dists[i] == best, F.lit(i)).otherwise(cell)
+    return df.withColumn(out_col, cell)
+
+
+def sample_centroids(
+    df: DataFrame, k: int, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic centroid seed: the k lowest-id vectors (stands in for
+    a k-means fit; swap in pyspark.ml KMeans with a fixed seed at scale)."""
+    rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    return [[float(v) for v in r[0]] for r in rows]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    *,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus is partitioned once into centroid
+    cells; each query scores only against its ``n_probe`` nearest cells.
+
+    Scale shape: assignment is map-only; the probe join is an equi-join on
+    cell id, so candidate generation is linear and the per-query candidate
+    set is |corpus| * n_probe / K.
+    """
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        centroids, vec_col="c_vec", out_col="cell",
+    )
+    # per-query probe cells: rank centroid distances, keep n_probe
+    qd = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probe_cols = []
+    for i, cent in enumerate(centroids):
+        lit = F.array(*[F.lit(float(v)) for v in cent])
+        d2 = F.aggregate(
+            F.zip_with(F.col("q_vec"), lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        probe_cols.append(F.struct(d2.alias("d"), F.lit(i).alias("cell")))
+    probes = F.slice(F.array_sort(F.array(*probe_cols)), 1, n_probe)
+    q = F.broadcast(
+        qd.select("query_id", "q_vec", F.explode(probes).alias("p"))
+        .select("query_id", "q_vec", F.col("p.cell").alias("cell"))
+    )
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     *,

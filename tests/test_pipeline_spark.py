@@ -233,3 +233,13 @@ def test_determinism_across_partitionings(spark, pages_df):
     rows_a = {r["url"]: (r["extracted_text"], r["printed_page"]) for r in a.collect()}
     rows_b = {r["url"]: (r["extracted_text"], r["printed_page"]) for r in b.collect()}
     assert rows_a == rows_b
+
+
+def test_salted_repartition_same_results(spark, pages_df):
+    from ocr_obsidian_spark.config import PipelineConfig
+    from ocr_obsidian_spark.operators.extract import extract_pages
+
+    cfg = PipelineConfig(salt_partitions=12)
+    salted = {r["url"]: r["extracted_text"] for r in extract_pages(pages_df, cfg).collect()}
+    plain = {r["url"]: r["extracted_text"] for r in extract_pages(pages_df).collect()}
+    assert salted == plain

@@ -75,3 +75,25 @@ def test_embedding_near_duplicates_self_similarity(spark, emb):
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     for d in range(5):
         assert (d, d + 10000) in found
+
+
+def test_ivf_topk_recall_and_cells(spark, emb, emb_np):
+    from ocr_obsidian_spark.operators.similarity import ivf_assign, ivf_topk, sample_centroids
+
+    ids, mat = emb_np
+    cents = sample_centroids(emb, 8)
+    assigned = ivf_assign(emb, cents)
+    cells = {r["ivf_cell"] for r in assigned.select("ivf_cell").distinct().collect()}
+    assert cells <= set(range(8)) and len(cells) > 1
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    got = ivf_topk(emb, queries, cents, k=5, n_probe=3).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid in range(20):
+        exact = set(_oracle_topk(ids, mat, qid, k=5))
+        total += 5
+        hits += len(exact & by_q.get(qid, set()))
+    assert hits / total > 0.3

@@ -1,0 +1,99 @@
+"""Structured Streaming extraction: incremental processing + checkpoint
+resume + watermarked aggregation + in-stream dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_obsidian_spark.schemas import PAGES
+from ocr_obsidian_spark.streaming.stream_extract import (
+    read_pages_stream,
+    stream_dedup_pages,
+    stream_extract,
+    stream_ingest_metrics,
+)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ("input", "out", "ckpt")}
+    (tmp_path / "input").mkdir()
+    return d
+
+
+def _write_chunk(spark, fixture_pages, input_dir, lo, hi, name):
+    spark.createDataFrame(fixture_pages[lo:hi], schema=PAGES).coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+
+
+def test_stream_extract_incremental_and_resumable(spark, fixture_pages, dirs):
+    _write_chunk(spark, fixture_pages, dirs["input"], 0, 20, "c1")
+    q = stream_extract(spark, dirs["input"], dirs["out"], dirs["ckpt"])
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(dirs["out"])
+    assert out1.count() == 20
+
+    # new files arrive; restarting from the checkpoint processes ONLY them
+    _write_chunk(spark, fixture_pages, dirs["input"], 20, 35, "c2")
+    q2 = stream_extract(spark, dirs["input"], dirs["out"], dirs["ckpt"])
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(dirs["out"])
+    assert out2.count() == 35
+    # no duplicates: every url exactly once
+    assert out2.select("url").distinct().count() == 35
+    # content identical to the batch path
+    from ocr_obsidian_spark.operators.extract import extract_pages
+
+    batch = extract_pages(
+        spark.createDataFrame(fixture_pages[:35], schema=PAGES)
+    ).select("url", "extracted_text")
+    got = {r["url"]: r["extracted_text"] for r in out2.select("url", "extracted_text").collect()}
+    for r in batch.collect():
+        assert got[r["url"]] == r["extracted_text"]
+
+
+def test_stream_ingest_metrics_watermarked(spark, fixture_pages, dirs, tmp_path):
+    _write_chunk(spark, fixture_pages, dirs["input"], 0, 30, "c1")
+    pages = read_pages_stream(spark, dirs["input"])
+    metrics = stream_ingest_metrics(pages, window="10 minutes", watermark="5 minutes")
+    out = str(tmp_path / "metrics")
+    q = (
+        metrics.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "mckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has closed — with a
+    # single drained batch that can legitimately be zero rows; the plan
+    # must at least run and produce the right schema
+    got = spark.read.schema(
+        "window_start timestamp, window_end timestamp, lang string, n_docs long, n_bytes long"
+    ).parquet(out)
+    assert got.columns == ["window_start", "window_end", "lang", "n_docs", "n_bytes"]
+
+
+def test_stream_dedup_drops_in_horizon_duplicates(spark, fixture_pages, dirs, tmp_path):
+    dup_rows = fixture_pages[:10] + fixture_pages[:10]  # exact duplicate urls
+    spark.createDataFrame(dup_rows, schema=PAGES).coalesce(1).write.mode("append").parquet(
+        dirs["input"]
+    )
+    pages = read_pages_stream(spark, dirs["input"])
+    deduped = stream_dedup_pages(pages, watermark="1 hour")
+    out = str(tmp_path / "dedup")
+    q = (
+        deduped.select("url", "warc_ts").writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 10
+    assert got.select("url").distinct().count() == 10
