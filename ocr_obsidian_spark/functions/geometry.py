@@ -60,12 +60,15 @@ def group_lines(
         for cluster in clusters:
             if abs(cy - cluster["cy"]) <= y_tolerance_px:
                 cluster["words"].append(w)
-                cluster["cy"] = sum(y_center(x["bbox"]) for x in cluster["words"]) / len(
-                    cluster["words"]
-                )
+                # running mean via incremental sum — float-add order is
+                # identical to re-summing in insertion order, so the mean
+                # (and thus clustering) is bit-exact vs the reference's
+                # recompute (ingest/ocr.py:107) at O(n) instead of O(n²)
+                cluster["sum_y"] += cy
+                cluster["cy"] = cluster["sum_y"] / len(cluster["words"])
                 break
         else:
-            clusters.append({"cy": cy, "words": [w]})
+            clusters.append({"cy": cy, "sum_y": cy, "words": [w]})
 
     clusters.sort(key=lambda c: c["cy"])
     lines: list[dict[str, Any]] = []

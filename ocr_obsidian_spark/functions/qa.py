@@ -10,7 +10,14 @@ from __future__ import annotations
 
 from typing import Any
 
+import re
+
 from ..config import QaThresholds
+
+_ALPHA_ASCII = re.compile(r"[A-Za-z]+")
+_ALNUM_ASCII = re.compile(r"[A-Za-z0-9]+")
+# exactly the ASCII chars for which str.isspace() is True
+_SPACE_ASCII = re.compile(r"[ \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f]+")
 
 
 def _line_display_text(line: dict[str, Any]) -> str:
@@ -50,18 +57,30 @@ def compute_text_metrics(lines: list[dict[str, Any]]) -> dict[str, Any]:
                     confs.append(c)
 
     content = "\n".join(texts)
-    alpha = alnum = nonspace = garbage = 0
-    for ch in content:
-        a = ch.isalnum()
-        s = ch.isspace()
-        if ch.isalpha():
-            alpha += 1
-        if a:
-            alnum += 1
-        if not s:
-            nonspace += 1
-            if not a:
-                garbage += 1
+    if content.isascii():
+        # ASCII fast path: for ASCII input, str.isalpha == [A-Za-z],
+        # str.isalnum == [A-Za-z0-9], and str.isspace == the explicit set
+        # in _SPACE_ASCII (incl. \x1c-\x1f separators) — regex deletions
+        # give counts bit-identical to the per-char loop; alnum chars are
+        # never whitespace so garbage = nonspace - alnum
+        n = len(content)
+        alpha = n - len(_ALPHA_ASCII.sub("", content))
+        alnum = n - len(_ALNUM_ASCII.sub("", content))
+        nonspace = len(_SPACE_ASCII.sub("", content))
+        garbage = nonspace - alnum
+    else:
+        alpha = alnum = nonspace = garbage = 0
+        for ch in content:
+            a = ch.isalnum()
+            s = ch.isspace()
+            if ch.isalpha():
+                alpha += 1
+            if a:
+                alnum += 1
+            if not s:
+                nonspace += 1
+                if not a:
+                    garbage += 1
     pipes = content.count("|")
 
     return {

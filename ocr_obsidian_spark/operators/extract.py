@@ -36,13 +36,10 @@ from ..sources.fixtures import parse_page_payload
 
 _URL_BOOK_RE = re.compile(r"/book_([^/]+)/page_(\d+)")
 
-# corpus schema + the final text column (page-local: the QA gate and the
-# placeholder only depend on the page itself)
-CORPUS_OUT = T.StructType(
-    CORPUS.fields[:11]
-    + [T.StructField("extracted_text", T.StringType(), True)]
-    + CORPUS.fields[11:]
-)
+# the extract stage emits the full canonical corpus schema (the final
+# extracted_text is page-local: QA gate + placeholder only depend on the
+# page itself)
+CORPUS_OUT = CORPUS
 
 
 def parse_url_book_page(url: str) -> tuple[str, int]:
@@ -150,7 +147,9 @@ def extract_pages(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFr
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            recs: list[dict[str, Any]] = []
+            # columnar accumulation (dict-of-lists) — noticeably cheaper
+            # than pd.DataFrame(list-of-dicts) at batch granularity
+            data: dict[str, list[Any]] = {k: [] for k in out_cols}
             for url, warc_ts, html, lang in zip(
                 pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
             ):
@@ -159,8 +158,9 @@ def extract_pages(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFr
                 rec["warc_ts"] = warc_ts
                 rec["lang"] = lang
                 rec["config_hash"] = config_hash
-                recs.append(rec)
-            yield pd.DataFrame(recs, columns=out_cols)
+                for k in out_cols:
+                    data[k].append(rec[k])
+            yield pd.DataFrame(data, columns=out_cols)
 
     src = df.select("url", "warc_ts", "html", "lang")
     if cfg.salt_partitions > 0:

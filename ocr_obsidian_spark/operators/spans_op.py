@@ -54,8 +54,17 @@ def filter_block_candidates(
         near_edge = (x1 <= F.lit(b.edge_margin_px)) | (
             x2 >= (pw.cast("double") - F.lit(b.edge_margin_px))
         )
+        # frame-crop analog (reference ingest/highlights.py:117-121): the
+        # reference zeroes the outer frame_crop_frac of the pixel mask
+        # before component detection; at bbox granularity we drop
+        # candidates lying wholly inside either margin band (partially
+        # overlapping ones would have been reshaped in pixel space — not
+        # reproducible from boxes, documented deviation)
+        crop = F.round(pw.cast("double") * F.lit(b.frame_crop_frac))
+        in_margin = (x2 <= crop) | (x1 >= pw.cast("double") - crop)
         return (
             (c["area"] >= F.lit(b.min_area))
+            & ~in_margin
             & (hw_ratio <= F.lit(b.max_hw_ratio))
             & (height_frac <= F.lit(b.max_height_frac))
             & ~(near_edge & (height_frac > F.lit(b.max_height_frac * 0.6)))

@@ -63,6 +63,7 @@ CORPUS = T.StructType(
         T.StructField("lines_json", T.StringType(), True),
         T.StructField("raw_text", T.StringType(), True),
         T.StructField("clean_text", T.StringType(), True),
+        T.StructField("extracted_text", T.StringType(), True),
         T.StructField("char_count", T.LongType(), True),
         T.StructField("line_count", T.LongType(), True),
         T.StructField("avg_word_conf", T.DoubleType(), True),

@@ -49,3 +49,43 @@ def test_lineage_rows_cover_all_partitions(spark, corpus):
     covered = [r for r in rows if r["min_url"] is not None]
     assert covered and all(r["min_url"] <= r["max_url"] for r in covered)
     assert sum(r["bytes_in"] for r in rows) > 0
+
+
+def test_jsonl_corpus_roundtrip(spark, corpus, tmp_path):
+    from ocr_obsidian_spark.sources.io import read_corpus_jsonl, write_jsonl
+
+    path = str(tmp_path / "corpus_jsonl")
+    write_jsonl(corpus.drop("warc_ts"), path)  # json timestamps lose tz fidelity
+    back = read_corpus_jsonl(spark, path)
+    a = {r["url"]: (r["extracted_text"], r["lines_json"]) for r in corpus.collect()}
+    b = {r["url"]: (r["extracted_text"], r["lines_json"]) for r in back.collect()}
+    assert a == b
+
+
+def test_write_table_fail_closed(spark, corpus, tmp_path):
+    from ocr_obsidian_spark.sources.io import read_table, write_table
+
+    path = str(tmp_path / "tbl")
+    write_table(corpus.select("url", "extracted_text"), path)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        write_table(corpus.select("url", "extracted_text"), path)  # mode=error
+    assert read_table(spark, path).count() == corpus.count()
+
+
+def test_frame_crop_candidates_dropped(spark, corpus):
+    from ocr_obsidian_spark.operators.spans_op import filter_block_candidates
+    from pyspark.sql import functions as F
+
+    rows = [
+        # wholly in the left margin band (x2 <= 0.02*1000 = 20)
+        ("u1", [{"bbox": [2, 300, 18, 340], "area": 640, "color_stats": {}}]),
+        # normal block
+        ("u2", [{"bbox": [100, 300, 500, 340], "area": 16000, "color_stats": {}}]),
+    ]
+    from ocr_obsidian_spark.schemas import TRIGGERS
+    t = spark.createDataFrame(rows, schema=TRIGGERS)
+    t = t.withColumn("page_width", F.lit(1000)).withColumn("page_height", F.lit(1400))
+    out = {r["url"]: len(r["candidates"]) for r in filter_block_candidates(t).collect()}
+    assert out["u1"] == 0
+    assert out["u2"] == 1
