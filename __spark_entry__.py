@@ -353,6 +353,16 @@ def q_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     return g.filter(F.col("n_docs") > 1).select("n_docs", "keep_id")
 
 
+def q_jaccard_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Unrestricted n-gram Jaccard near-dup pairs (inverted-index self-join,
+    no LSH pre-filter — the exact-verification path, fully SQL-checkable)."""
+    from ocr_obsidian_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_with_dups(spark, sf), threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 5 vectors (exact baseline)."""
     from ocr_obsidian_spark.operators.similarity import brute_force_topk
@@ -510,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
         "dedup_groups": q_dedup_groups,
+        "jaccard_exact": q_jaccard_exact,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
@@ -737,6 +748,37 @@ def oracle_sql() -> dict[str, str]:
             FROM d
             GROUP BY lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))
             HAVING count(*) > 1
+        """,
+        "jaccard_exact": f"""
+            WITH d AS ({_DOCS_WITH_DUPS_SQL}),
+            norm AS (
+                SELECT doc_id,
+                       string_split({_NORM_SQL}, ' ') AS w
+                FROM d
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) >= 3
+                            THEN list_distinct(list_transform(
+                                range(0, len(w) - 2),
+                                i -> array_to_string(w[i + 1 : i + 3], ' ')))
+                            ELSE [array_to_string(w, ' ')] END AS shs
+                FROM norm
+            ),
+            ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+            sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM ex a JOIN ex b USING (sh)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
         """,
         "embedding_topk": """
             SELECT query_id, neighbor_id, rn AS rank
