@@ -13,7 +13,8 @@ Two paths:
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window, functions as F
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
@@ -94,18 +95,35 @@ def hyperplane_signature(
     return sig
 
 
-def _table_signatures(vec_col: str, dim: int, n_bits: int, n_tables: int, seed: int) -> F.Column:
-    """array of (table, signature) — one signature per independent hash
-    table; multi-table OR-amplification is what buys recall at scale."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                hyperplane_signature(vec_col, dim, n_bits, seed + 1000 * t).alias("sig"),
-            )
+def _table_signatures_udf(dim: int, n_bits: int, n_tables: int, seed: int):
+    """Arrow-vectorized multi-table signatures: one numpy matmul per batch.
+
+    The pure-expression alternative (n_tables × n_bits dot-product
+    expression trees) degenerates to ~1 ms/row in codegen; the batched
+    matmul is ~1000× cheaper — the documented exception to
+    "built-ins first" (PLANS.md): vectorized UDF beats a degenerate
+    expression forest.
+    """
+    planes = np.stack(
+        [
+            np.random.default_rng(seed + 1000 * t).standard_normal((n_bits, dim))
             for t in range(n_tables)
         ]
-    )
+    )  # (T, B, D)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType(), False))
+    def sigs(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)  # (n, D)
+        if mat.ndim != 2 or mat.shape[0] == 0:
+            return pd.Series([[0] * planes.shape[0]] * len(v))
+        out = np.empty((mat.shape[0], planes.shape[0]), dtype=np.int64)
+        for t in range(planes.shape[0]):
+            proj = mat @ planes[t].T  # (n, B)
+            out[:, t] = ((proj > 0).astype(np.int64) * weights).sum(axis=1)
+        return pd.Series(out.tolist())
+
+    return sigs
 
 
 def lsh_topk(
@@ -125,18 +143,18 @@ def lsh_topk(
     re-ranking within the candidate set. Cost is linear in corpus size
     (each row hashes into n_tables buckets); recall is tuned by
     (n_bits, n_tables) — OR-amplification across tables."""
-    sigs = _table_signatures(vec_col, dim, n_bits, n_tables, seed)
+    sig_udf = _table_signatures_udf(dim, n_bits, n_tables, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.explode(sigs).alias("ts"),
-    ).select("neighbor_id", "c_vec", "ts.table", "ts.sig")
+        F.posexplode(sig_udf(F.col(vec_col))).alias("table", "sig"),
+    )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            F.explode(sigs).alias("ts"),
-        ).select("query_id", "q_vec", "ts.table", "ts.sig")
+            F.posexplode(sig_udf(F.col(vec_col))).alias("table", "sig"),
+        )
     )
     scored = (
         c.join(q, ["table", "sig"])
@@ -261,8 +279,10 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """(id_a, id_b, cosine >= threshold) — embedding-cosine near-dup pass:
     LSH-bucket first (linear), exact cosine only within buckets."""
-    sig = hyperplane_signature(vec_col, dim, n_bits, seed)
-    t = df.select(F.col(id_col), F.col(vec_col), sig.alias("sig"))
+    sig_udf = _table_signatures_udf(dim, n_bits, 1, seed)
+    t = df.select(
+        F.col(id_col), F.col(vec_col), F.element_at(sig_udf(F.col(vec_col)), 1).alias("sig")
+    )
     l, r = t.alias("l"), t.alias("r")
     return (
         l.join(
