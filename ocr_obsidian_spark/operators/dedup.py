@@ -133,14 +133,36 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard >= threshold.
 
-    Inverted-index self-join on shingles: |A∩B| from the join, sizes from a
-    per-doc count, jaccard by inclusion–exclusion. Optionally restricted to
-    LSH ``candidate_pairs`` (the 100 TB path — never all-pairs).
+    Two physical strategies, same semantics:
+
+    * with ``candidate_pairs`` (the 100 TB path): join each candidate pair
+      to its two shingle sets and compute ``array_intersect`` directly —
+      cost is O(|candidates| · shingles), never an all-pairs or
+      inverted-index explosion;
+    * without candidates (exact, small-corpus/oracle path): inverted-index
+      self-join on shingles. Beware: frequency-skewed shingles make this
+      superlinear — at scale always pass LSH candidates.
     """
     sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("shs"))
+
+    if candidate_pairs is not None:
+        sa = sh.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
+        sb = sh.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
+        return (
+            candidate_pairs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("n_inter", F.size(F.array_intersect("shs_a", "shs_b")))
+            .withColumn(
+                "jaccard",
+                F.col("n_inter")
+                / (F.size("shs_a") + F.size("shs_b") - F.col("n_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
     sizes = sh.select(F.col(id_col), F.size("shs").alias("n_sh"))
     inv = sh.select(F.col(id_col), F.explode("shs").alias("sh"))
-
     a = inv.select(F.col(id_col).alias("id_a"), "sh")
     b = inv.select(F.col(id_col).alias("id_b"), "sh")
     inter = (
@@ -149,9 +171,6 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    if candidate_pairs is not None:
-        inter = inter.join(candidate_pairs, ["id_a", "id_b"], "left_semi")
-
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
