@@ -209,9 +209,11 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"), F.col("user_id"), F.col("ts").alias("p_ts")
     )
     c = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("c_ts")
-    )
-    j = p.join(c, (p.user_id == c.user_id) & (c.c_ts <= p.p_ts)).drop(c.user_id)
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),  # distinct name: both sides derive
+        F.col("ts").alias("c_ts"),            # from ev — avoids the self-join
+    )                                         # trivially-true-predicate trap
+    j = p.join(c, (p.user_id == c.c_user_id) & (c.c_ts <= p.p_ts)).drop("c_user_id")
     w = Window.partitionBy("purchase_id").orderBy(
         F.col("c_ts").desc(), F.col("click_id").desc()
     )
@@ -255,7 +257,7 @@ def q_latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_regex_filter(spark: SparkSession, sf: str) -> DataFrame:
-    """F5 regex-predicate filter: documents containing a 2+-digit run."""
+    """F5 regex-predicate filter: documents matching (table|spark)."""
     d = _t(spark, sf, "documents")
     return (
         d.filter(F.col("text").rlike("(table|spark)"))

@@ -58,13 +58,38 @@ def run_resumable(
     run_id: str,
     n_buckets: int = 64,
     url_col: str = "url",
+    verify_readback: bool = True,
 ) -> int:
     """Run ``transform`` over the not-yet-committed buckets of ``pages`` and
-    commit them; returns the number of buckets written this invocation."""
+    commit them; returns the number of buckets committed this invocation.
+
+    The committed set is the pending buckets PRESENT IN THE INPUT, not the
+    data partitions that happen to exist after the write — a bucket whose
+    transform legitimately produces 0 rows still gets a manifest row (rows=0)
+    and is never reprocessed, so sparse runs converge to fully-complete.
+    Buckets absent from the input entirely remain pending (fail-closed: a
+    truncated upstream never registers its missing buckets as done).
+
+    ``verify_readback=True`` (default, fail-closed) re-reads the durable
+    files to count committed rows; ``False`` skips the second read (rows=-1
+    in the manifest) — the at-scale opt-out when the write itself is trusted
+    (e.g. an Iceberg commit, which is atomic).
+    """
     done = completed_buckets(spark, out_dir, run_id)
+    pending = sorted(set(range(n_buckets)) - done)
+    if not pending:
+        return 0
     src = with_bucket(pages, n_buckets, url_col)
     if done:
-        src = src.filter(~F.col(BUCKET_COL).isin(sorted(done)))
+        src = src.filter(F.col(BUCKET_COL).isin(pending))
+
+    # buckets actually assigned work this invocation (a narrow url-column
+    # scan; with Iceberg this set comes free from partition-level stats)
+    assigned = sorted(
+        r[0] for r in src.select(BUCKET_COL).distinct().collect()
+    )
+    if not assigned:
+        return 0
 
     out = transform(src.drop(BUCKET_COL))
     out = with_bucket(out, n_buckets, url_col)
@@ -80,20 +105,34 @@ def run_resumable(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
-    # fail-closed commit: count rows back from the durable files, then append
-    # manifest rows for exactly the buckets written in this invocation.
-    written = spark.read.parquet(_data_path(out_dir))
-    if done:
-        written = written.filter(~F.col(BUCKET_COL).isin(sorted(done)))
-    manifest_rows = (
-        written.groupBy(BUCKET_COL)
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .withColumn("run_id", F.lit(run_id))
-        .select("run_id", BUCKET_COL, "rows")
+    assigned_df = spark.createDataFrame(
+        [(run_id, b) for b in assigned], schema=f"run_id string, {BUCKET_COL} int"
     )
+    if verify_readback:
+        # fail-closed commit: count rows back from the durable files; buckets
+        # whose transform produced no rows commit as rows=0 via the left join.
+        try:
+            written = (
+                spark.read.parquet(_data_path(out_dir))
+                .filter(F.col(BUCKET_COL).isin(assigned))
+                .groupBy(BUCKET_COL)
+                .agg(F.count(F.lit(1)).alias("rows"))
+            )
+        except Exception:
+            # every assigned bucket produced 0 rows: no parquet footers exist
+            # to infer a schema from — all-zero counts
+            written = spark.createDataFrame(
+                [], schema=f"{BUCKET_COL} int, rows long"
+            )
+        manifest_rows = assigned_df.join(written, BUCKET_COL, "left").select(
+            "run_id", BUCKET_COL, F.coalesce(F.col("rows"), F.lit(0)).alias("rows")
+        )
+    else:
+        manifest_rows = assigned_df.select(
+            "run_id", BUCKET_COL, F.lit(-1).cast("long").alias("rows")
+        )
     manifest_rows.write.mode("append").parquet(_manifest_path(out_dir))
-    n_new = manifest_rows.count()
-    return int(n_new)
+    return len(assigned)
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -22,8 +22,15 @@ _NORM_WS = r"\s+"
 
 
 def normalized_text(col: str = "text") -> F.Column:
-    """Whitespace-collapsed, lowercased content key for exact dedup."""
-    return F.lower(F.trim(F.regexp_replace(F.col(col), _NORM_WS, " ")))
+    """Whitespace-collapsed, lowercased content key for exact dedup.
+
+    NULL text coalesces to '' so NULL-text docs hash into the SAME group as
+    empty docs (matching the DuckDB oracles' coalesce(text,'') and
+    textstats._norm) instead of vanishing into a NULL hash.
+    """
+    return F.lower(
+        F.trim(F.regexp_replace(F.coalesce(F.col(col), F.lit("")), _NORM_WS, " "))
+    )
 
 
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -45,8 +52,10 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "
 
 
 def word_shingles(text_col: str = "text", k: int = 3) -> F.Column:
-    """Distinct word k-shingles as an array column (native, no UDF)."""
-    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), _NORM_WS, " "))), " ")
+    """Distinct word k-shingles as an array column (native, no UDF).
+    NULL text → the single-shingle [''] of an empty doc (coalesce, see
+    normalized_text)."""
+    toks = F.split(normalized_text(text_col), " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n >= k, F.array_distinct(
@@ -194,9 +203,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """
     toks = df.select(
         F.col(id_col),
-        F.explode(
-            F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), _NORM_WS, " "))), " ")
-        ).alias("tok"),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
 
     bit_sums = [

@@ -48,6 +48,26 @@ def test_partial_resume_processes_only_missing(spark, pages_df, tmp_path):
     assert read_output(spark, out).count() == pages_df.count()
 
 
+def test_zero_row_buckets_still_commit(spark, pages_df, tmp_path):
+    """A bucket whose transform legitimately yields 0 rows must get a
+    manifest row (rows=0) so sparse runs converge to fully-complete."""
+    out = str(tmp_path / "run3")
+
+    def drop_everything(df):
+        return extract_pages(df).filter(F.col("page_num") < 0)
+
+    n1 = run_resumable(
+        spark, pages_df, drop_everything, out_dir=out, run_id="r1", n_buckets=8
+    )
+    assert n1 == 8
+    assert completed_buckets(spark, out, "r1") == set(range(8))
+    # resume is a no-op — nothing reprocessed
+    n2 = run_resumable(
+        spark, pages_df, drop_everything, out_dir=out, run_id="r1", n_buckets=8
+    )
+    assert n2 == 0
+
+
 def test_multimodal_stub_features(spark):
     from ocr_obsidian_spark.operators.multimodal import extract_media_features
 

@@ -43,6 +43,19 @@ def test_exact_dedup(docs):
     assert deduped.filter(F.col("doc_id") >= 100000).filter(F.col("doc_id") < 200000).count() == 0
 
 
+def test_null_text_matches_empty_text(spark):
+    """NULL and '' text are the same dedup group (oracle coalesce semantics);
+    NULL-text docs must not vanish from shingle-based paths."""
+    from ocr_obsidian_spark.operators.dedup import word_shingles
+
+    rows = [(1, None), (2, ""), (3, "   "), (4, "real content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = exact_duplicate_groups(df).filter("n_docs > 1").collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 3 and groups[0]["keep_id"] == 1
+    shs = {r["doc_id"]: r["s"] for r in df.select("doc_id", word_shingles().alias("s")).collect()}
+    assert shs[1] == [""] and shs[2] == [""]  # present, not NULL
+
+
 def test_minhash_lsh_finds_exact_and_near_dups(docs):
     pairs = minhash_lsh_candidate_pairs(docs).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}

@@ -38,6 +38,44 @@ def test_export_md_headers(corpus):
     assert "## Page 12 (scan: scan_0004.png)" in md
 
 
+def _reference_export(rows, fmt, title=None):
+    """Byte-exact replica of reference cli.py:173-209 part assembly, driven
+    from the same per-page values the Spark operator consumes."""
+    pages = sorted(rows, key=lambda r: int(r["page_num"]))
+    if fmt == "md":
+        book_id = pages[0]["book_id"]
+        parts = [f"# {title or book_id}".strip(), ""]
+    else:
+        parts = []
+    for page in pages:
+        page_num = int(page["page_num"])
+        printed = page["printed_page"]
+        display = page_num if printed in (None, "") else printed
+        scan = page["scan_relpath"] or ""
+        page_text = page["extracted_text"] or ""
+        if fmt == "md":
+            parts.append(f"## Page {display} (scan: {scan})".rstrip())
+            parts.append(page_text.strip())
+            parts.append("---")
+            parts.append("")
+        else:
+            parts.append(f"# Page {page_num}\n{page_text}".strip())
+    return "\n\n".join(parts).strip() + "\n"
+
+
+@pytest.mark.parametrize("fmt", ["txt", "md"])
+def test_export_byte_identical_to_reference_join(corpus, fmt):
+    """The reference's empty separator parts give 4-newline gaps (md) and
+    str.strip() removes newlines, not just spaces — pinned byte-for-byte."""
+    by_book: dict[str, list] = {}
+    for r in corpus.collect():
+        by_book.setdefault(r["book_id"], []).append(r.asDict())
+    out = {r["book_id"]: r["content"] for r in export_book_text(corpus, fmt=fmt).collect()}
+    assert set(out) == set(by_book)
+    for book_id, rows in by_book.items():
+        assert out[book_id] == _reference_export(rows, fmt), book_id
+
+
 def test_lineage_rows_cover_all_partitions(spark, corpus):
     df = corpus.repartition(6)
     rows = partition_metrics(
