@@ -432,21 +432,32 @@ def q_extract_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_book_export(spark: SparkSession, sf: str) -> DataFrame:
     """export-book-text analog (reference cli.py:162-215): one concatenated
-    markdown document per book from the extraction corpus (UDF upstream —
-    rows-only check)."""
+    markdown document per source from a corpus-shaped projection of the
+    documents table — fully relational, so the reference's part-join +
+    strip semantics (4-newline separators, str.strip) are DuckDB-oracled.
+    The UDF-extracted corpus variant of the same operator is pinned
+    byte-for-byte by tests/test_export_lineage.py."""
     from ocr_obsidian_spark.operators.export_text import export_book_text
-    from ocr_obsidian_spark.operators.extract import extract_pages
-    from ocr_obsidian_spark.operators.printed_page import apply_printed_page_mode
-    from ocr_obsidian_spark.sources.doc_pages import pages_from_documents
 
-    docs = _t(spark, sf, "documents")
-    corpus = apply_printed_page_mode(extract_pages(pages_from_documents(docs)))
+    d = _t(spark, sf, "documents")
+    corpus = d.select(
+        F.col("source").alias("book_id"),
+        F.col("doc_id").cast("int").alias("page_num"),
+        F.lit(None).cast("int").alias("printed_page"),
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("scan_relpath"),
+        F.col("text").alias("extracted_text"),
+    )
     return export_book_text(corpus, fmt="md")
 
 
 def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH candidate pairs over the known-duplicates population
-    (xxhash64-based — no DuckDB analog)."""
+    """MinHash-LSH candidate pairs over the known-duplicates population.
+
+    xxhash64 signatures have no DuckDB analog, but the ORACLE is the exact
+    shingle-Jaccard pair set: at 64 hashes / 16 bands on this deterministic
+    corpus the banded candidates coincide exactly with the >=0.8 Jaccard
+    pairs (verified: no band collision below threshold, no missed pair), so
+    any regression in the signature/banding path breaks the hash match."""
     from ocr_obsidian_spark.operators.dedup import minhash_lsh_candidate_pairs
 
     return minhash_lsh_candidate_pairs(_docs_with_dups(spark, sf))
@@ -460,7 +471,11 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """n-gram Jaccard >= 0.8 over LSH candidates (known-duplicates population)."""
+    """n-gram Jaccard >= 0.8 over LSH candidates (the 100 TB path:
+    candidate-restricted array_intersect verification). Oracled against the
+    UNRESTRICTED exact-Jaccard SQL: the LSH candidate set provably contains
+    every >=0.8 pair on this corpus (see q_minhash_pairs), so the filtered
+    output must equal the exhaustive pair set, values included."""
     from ocr_obsidian_spark.operators.dedup import (
         minhash_lsh_candidate_pairs,
         ngram_jaccard_pairs,
@@ -486,15 +501,18 @@ def q_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-bucketed approximate NN (coarse quantizer + n_probe cells —
-    approximate by design, rows-only check)."""
+    """IVF cell-partitioned NN with EXHAUSTIVE probing (n_probe = n_cells):
+    probing every cell makes the result provably the exact top-k, which
+    oracles the whole IVF plumbing (assignment, probe join, ranking) against
+    the brute-force SQL; approximate-recall behaviour at n_probe < n_cells
+    is pinned by tests/test_similarity.py."""
     from ocr_obsidian_spark.operators.similarity import ivf_topk, sample_centroids
 
     emb = _t(spark, sf, "embeddings")
     cents = sample_centroids(emb, 8)
     q = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, q, cents, k=5, n_probe=3).select(
-        "query_id", "neighbor_id", "rank"
+    return ivf_topk(emb, q, cents, k=5, n_probe=8).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
 
 
@@ -526,14 +544,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
-        # rows-only (UDF / hash-sketch paths)
-        "extract_pipeline": q_extract_pipeline,
         "book_export": q_book_export,
         "minhash_pairs": q_minhash_pairs,
-        "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
-        "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        # rows-only: extract_pipeline is the pandas-UDF extraction spine
+        # (pinned byte-identical to the reference by tests/); simhash is a
+        # raw xxhash64 fingerprint (no DuckDB analog); lsh_ann is
+        # approximate by design (recall pinned by tests/test_similarity.py)
+        "extract_pipeline": q_extract_pipeline,
+        "simhash": q_simhash,
+        "lsh_ann": q_lsh_ann,
     }
 
 
@@ -544,6 +565,34 @@ _DOCS_WITH_DUPS_SQL = """
     UNION ALL
     SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
     FROM documents WHERE doc_id < 25
+"""
+
+# exhaustive shingle-Jaccard pair CTE (shared by jaccard_exact,
+# jaccard_pairs and — as the candidate-completeness oracle — minhash_pairs)
+_JACCARD_CTE = f"""
+    WITH d AS ({_DOCS_WITH_DUPS_SQL}),
+    norm AS (
+        SELECT doc_id,
+               string_split({{norm_sql}}, ' ') AS w
+        FROM d
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(
+                        range(0, len(w) - 2),
+                        i -> array_to_string(w[i + 1 : i + 3], ' ')))
+                    ELSE [array_to_string(w, ' ')] END AS shs
+        FROM norm
+    ),
+    ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+    sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM ex a JOIN ex b USING (sh)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
 """
 
 
@@ -751,32 +800,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))
             HAVING count(*) > 1
         """,
-        "jaccard_exact": f"""
-            WITH d AS ({_DOCS_WITH_DUPS_SQL}),
-            norm AS (
-                SELECT doc_id,
-                       string_split({_NORM_SQL}, ' ') AS w
-                FROM d
-            ),
-            sh AS (
-                SELECT doc_id,
-                       CASE WHEN len(w) >= 3
-                            THEN list_distinct(list_transform(
-                                range(0, len(w) - 2),
-                                i -> array_to_string(w[i + 1 : i + 3], ' ')))
-                            ELSE [array_to_string(w, ' ')] END AS shs
-                FROM norm
-            ),
-            ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
-            sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
-            inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-                FROM ex a JOIN ex b USING (sh)
-                WHERE a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
+        "jaccard_exact": _JACCARD_CTE.format(norm_sql=_NORM_SQL) + """
             SELECT id_a, id_b,
                    round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
+        """,
+        # jaccard_pairs (LSH-candidate-restricted) must equal the exhaustive
+        # pair set — candidates are complete on this corpus (q_jaccard_pairs
+        # docstring)
+        "jaccard_pairs": _JACCARD_CTE.format(norm_sql=_NORM_SQL) + """
+            SELECT id_a, id_b,
+                   round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
+        """,
+        # minhash band-bucket candidates coincide exactly with the >=0.8
+        # Jaccard pairs on this corpus (q_minhash_pairs docstring)
+        "minhash_pairs": _JACCARD_CTE.format(norm_sql=_NORM_SQL) + """
+            SELECT id_a, id_b
             FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
@@ -795,6 +841,40 @@ def oracle_sql() -> dict[str, str]:
                 JOIN embeddings c ON c.vec_id != q.vec_id
                 WHERE q.vec_id < 5
             ) WHERE rn <= 5
+        """,
+        # exhaustive probing (n_probe = n_cells) makes IVF provably exact —
+        # same oracle as brute force
+        "ivf_ann": """
+            SELECT query_id, neighbor_id, rn AS rank
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                                    c.vec_id) AS rn
+                FROM embeddings q
+                JOIN embeddings c ON c.vec_id != q.vec_id
+                WHERE q.vec_id < 5
+            ) WHERE rn <= 5
+        """,
+        "book_export": """
+            WITH blocks AS (
+                SELECT source, doc_id,
+                       '## Page ' || doc_id || ' (scan: doc_' || doc_id || ')'
+                       || chr(10) || chr(10)
+                       || trim(coalesce(text, ''),
+                               ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))
+                       || chr(10) || chr(10) || '---' AS block
+                FROM documents
+            )
+            SELECT source AS book_id,
+                   trim('# ' || source,
+                        ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))
+                   || repeat(chr(10), 4)
+                   || string_agg(block, repeat(chr(10), 4) ORDER BY doc_id)
+                   || chr(10) AS content
+            FROM blocks GROUP BY source
         """,
         "embedding_near_dup": """
             WITH e AS (

@@ -83,21 +83,18 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidate_pairs(
+def minhash_banded_buckets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     bands: int = 16,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) from banded minhash.
-
-    Documents sharing ANY band bucket become candidates. Rows per band:
-    hash the band slice, groupBy (band, bucket), emit in-bucket pairs.
-    """
+    """(id, band, bucket) — each document's LSH bucket per minhash band
+    (exposed so call sites can run ``bucket_cap_stats`` on the same keys)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes)
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -115,21 +112,30 @@ def minhash_lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col(f"l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
-    return pairs
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) from banded minhash.
+
+    Documents sharing ANY band bucket become candidates. Real corpora have
+    mega-buckets (boilerplate pages, empty docs): one m-member band bucket
+    emits m²/2 pairs, so buckets above ``max_bucket_size`` degrade to
+    sorted-adjacent chaining (O(m), connectivity-preserving for true
+    duplicate clusters) — see similarity.bucketed_candidate_pairs; the cap
+    is reportable via ``bucket_cap_stats(minhash_banded_buckets(df), ...)``
+    (no silent caps).
+    """
+    from .similarity import bucketed_candidate_pairs
+
+    banded = minhash_banded_buckets(df, text_col, id_col, num_hashes, bands)
+    return bucketed_candidate_pairs(banded, id_col, ["band", "bucket"], max_bucket_size)
 
 
 def ngram_jaccard_pairs(

@@ -267,6 +267,71 @@ def ivf_topk(
     )
 
 
+def bucketed_candidate_pairs(
+    keyed: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """(id_a, id_b) distinct candidate pairs from bucket co-membership, with
+    a skew guard: buckets larger than ``max_bucket_size`` degrade from the
+    all-pairs self-join (O(m²) — job-killing for a 10⁶-member boilerplate
+    bucket) to SORTED-ADJACENT CHAINING (O(m) consecutive pairs by id).
+    Chaining preserves connected-components for true duplicate clusters —
+    every member still reaches the cluster via its neighbor — while bounding
+    the candidate volume; general near-dup pairs inside an over-cap bucket
+    may be missed (report them via ``bucket_cap_stats``, never silently:
+    PLANS.md no-silent-caps rule).
+    """
+    w = Window.partitionBy(*bucket_cols)
+    sized = keyed.withColumn("_bsize", F.count(F.lit(1)).over(w))
+
+    if max_bucket_size is None:
+        small = sized
+    else:
+        small = sized.filter(F.col("_bsize") <= max_bucket_size)
+    l, r = small.alias("l"), small.alias("r")
+    cond = (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    for c in bucket_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    pairs = l.join(r, cond).select(
+        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+    )
+
+    if max_bucket_size is not None:
+        big = sized.filter(F.col("_bsize") > max_bucket_size)
+        wo = Window.partitionBy(*bucket_cols).orderBy(id_col)
+        chained = (
+            big.withColumn("_next", F.lead(id_col).over(wo))
+            .filter(F.col("_next").isNotNull())
+            .select(F.col(id_col).alias("id_a"), F.col("_next").alias("id_b"))
+        )
+        pairs = pairs.unionByName(chained)
+    return pairs.distinct()
+
+
+def bucket_cap_stats(
+    keyed: DataFrame, bucket_cols: list[str], max_bucket_size: int
+) -> dict[str, int]:
+    """Eager, log-visible cap report: how many buckets exceeded the cap and
+    the largest bucket seen (call sites log this — caps are never silent)."""
+    row = (
+        keyed.groupBy(*bucket_cols)
+        .count()
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(F.col("count") > max_bucket_size, 1).otherwise(0)).alias("n_over_cap"),
+            F.max("count").alias("max_bucket"),
+        )
+        .first()
+    )
+    return {
+        "n_buckets": int(row["n_buckets"] or 0),
+        "n_over_cap": int(row["n_over_cap"] or 0),
+        "max_bucket": int(row["max_bucket"] or 0),
+    }
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     *,
@@ -275,24 +340,57 @@ def embedding_near_duplicates(
     dim: int = 64,
     threshold: float = 0.95,
     n_bits: int = 8,
+    n_tables: int = 8,
     seed: int = 7,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """(id_a, id_b, cosine >= threshold) — embedding-cosine near-dup pass:
-    LSH-bucket first (linear), exact cosine only within buckets."""
-    sig_udf = _table_signatures_udf(dim, n_bits, 1, seed)
-    t = df.select(
-        F.col(id_col), F.col(vec_col), F.element_at(sig_udf(F.col(vec_col)), 1).alias("sig")
+    multi-table LSH candidate generation (linear), exact cosine only on
+    candidates.
+
+    Recall comes from OR-amplification across ``n_tables`` independent
+    hyperplane tables: a pair at exactly ``threshold`` collides in one table
+    w.p. p_bit^n_bits with p_bit = 1 − arccos(threshold)/π, and survives
+    w.p. 1 − (1 − p_bit^n_bits)^n_tables — ≈0.99 at threshold 0.95 with the
+    (8 bits, 8 tables) default; exact copies collide in every table. At
+    larger scale raise n_bits (smaller buckets) and n_tables together.
+
+    Skew: buckets above ``max_bucket_size`` (duplicate mega-clusters) chain
+    instead of all-pairs joining — see ``bucketed_candidate_pairs``; report
+    via ``bucket_cap_stats`` on the same keyed frame.
+    """
+    sig_udf = _table_signatures_udf(dim, n_bits, n_tables, seed)
+    keyed = df.select(
+        F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("table", "sig")
     )
-    l, r = t.alias("l"), t.alias("r")
+    cands = bucketed_candidate_pairs(keyed, id_col, ["table", "sig"], max_bucket_size)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
-        l.join(
-            r,
-            (F.col("l.sig") == F.col("r.sig")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            cosine_similarity(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cosine"),
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def near_dup_signature_frame(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """The (id, table, sig) keyed frame embedding_near_duplicates buckets on —
+    exposed so call sites can run ``bucket_cap_stats`` on the same keys."""
+    sig_udf = _table_signatures_udf(dim, n_bits, n_tables, seed)
+    return df.select(
+        F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("table", "sig")
     )
