@@ -389,6 +389,23 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_near_duplicates(both, dim=64, threshold=0.9999).select("id_a", "id_b")
 
 
+def q_block_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Block-salience classification, web-graft form (SURVEY §2.11 #3):
+    fixed-size token blocks scored by text/link density, pure native
+    expressions. The pixel-space detection twin (HSV mask → morphology →
+    components, operators/blocks.detect_blocks) is pinned against
+    independent naive oracles + the reference span functions by
+    tests/test_blocks.py — its strokes payload is not SQL-reachable."""
+    from ocr_obsidian_spark.operators.blocks import classify_text_blocks
+
+    d = _t(spark, sf, "documents")
+    return classify_text_blocks(d).select(
+        "doc_id", "block_idx", "n_tokens", "n_chars",
+        "alpha_ratio", "link_density",
+        F.col("is_content").cast("long").alias("is_content"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: binary payload columns → size + content hash
     (the deterministic columns of the media-feature stage)."""
@@ -544,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
+        "block_candidates": q_block_candidates,
         "book_export": q_book_export,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
@@ -886,6 +904,42 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                   >= 0.9999
+        """,
+        "block_candidates": f"""
+            WITH n AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(0, greatest(cast(ceil(len(w) / 20.0) AS BIGINT), 1)),
+                           i -> array_to_string(w[i * 20 + 1 : i * 20 + 20], ' ')
+                       ) AS blocks
+                FROM n
+            ),
+            e AS (
+                SELECT doc_id,
+                       unnest(range(0, len(blocks))) AS block_idx,
+                       unnest(blocks) AS block
+                FROM b
+            ),
+            feats AS (
+                SELECT doc_id, block_idx,
+                       len(string_split(block, ' ')) AS n_tokens,
+                       length(block) AS n_chars,
+                       length(regexp_replace(block, '[^a-z]', '', 'g')) AS n_alpha,
+                       len(list_filter(string_split(block, ' '),
+                           x -> x LIKE '%://%' OR x LIKE 'www.%')) AS n_link
+                FROM e WHERE length(block) > 0
+            )
+            SELECT doc_id, block_idx, n_tokens, n_chars,
+                   round(n_alpha * 1.0 / greatest(n_chars, 1), 6) AS alpha_ratio,
+                   round(n_link * 1.0 / greatest(n_tokens, 1), 6) AS link_density,
+                   CAST(n_tokens >= 5
+                        AND n_alpha * 1.0 / greatest(n_chars, 1) >= 0.5
+                        AND n_link * 1.0 / greatest(n_tokens, 1) <= 0.3
+                        AS BIGINT) AS is_content
+            FROM feats
         """,
         "multimodal_meta": """
             SELECT doc_id,

@@ -57,6 +57,10 @@ class BlockFilterConfig:
     max_hw_ratio: float = 3.0
     max_height_frac: float = 0.15
     frame_crop_frac: float = 0.02
+    # detection-side knobs (reference ingest/highlights.py:97-106 defaults)
+    hsv_low: tuple[int, int, int] = (15, 20, 80)
+    hsv_high: tuple[int, int, int] = (95, 255, 255)
+    kernel_size: int = 5
 
 
 @dataclass(frozen=True)

@@ -168,6 +168,120 @@ def extract_pages(df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFr
     return src.mapInPandas(run, schema=CORPUS_OUT)
 
 
+# combined output schema for the single-pass extract+lineage stage: a row
+# kind marker, the corpus columns (nullable — lineage rows leave them null),
+# and the lineage metric columns (null on data rows). config_hash is shared.
+_LINEAGE_EXTRA = [
+    T.StructField("run_id", T.StringType(), True),
+    T.StructField("stage", T.StringType(), True),
+    T.StructField("partition_id", T.IntegerType(), True),
+    T.StructField("rows_in", T.LongType(), True),
+    T.StructField("rows_out", T.LongType(), True),
+    T.StructField("bytes_in", T.LongType(), True),
+    T.StructField("wall_ms", T.DoubleType(), True),
+    T.StructField("min_url", T.StringType(), True),
+    T.StructField("max_url", T.StringType(), True),
+]
+EXTRACT_COMBINED = T.StructType(
+    [T.StructField("row_kind", T.StringType(), False)]
+    + [T.StructField(f.name, f.dataType, True) for f in CORPUS_OUT.fields]
+    + _LINEAGE_EXTRA
+)
+
+
+def extract_pages_with_lineage(
+    df: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    *,
+    run_id: str,
+    stage: str = "extract",
+) -> DataFrame:
+    """Single-pass extract + per-partition lineage (north-rule requirement,
+    SURVEY §2.10): the SAME ``mapInPandas`` that produces corpus rows
+    side-accumulates partition metrics and emits one trailing lineage row
+    per partition — the input is read exactly once (VERDICT r1 fix: the
+    separate ``lineage.partition_metrics`` pass doubled the 100 TB read).
+
+    Split the combined frame with ``split_extract_lineage`` (persist the
+    combined frame first so both halves share the one materialization).
+    """
+    from pyspark import TaskContext
+
+    config_hash = cfg.config_hash()
+    corpus_cols = [f.name for f in CORPUS_OUT.fields]
+    extra_cols = [f.name for f in _LINEAGE_EXTRA]
+    all_cols = ["row_kind"] + corpus_cols + extra_cols
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
+        t0 = time.monotonic()
+        ctx = TaskContext.get()
+        pid = int(ctx.partitionId()) if ctx is not None else -1
+        rows = 0
+        nbytes = 0
+        min_url: str | None = None
+        max_url: str | None = None
+        for pdf in batches:
+            data: dict[str, list[Any]] = {k: [] for k in all_cols}
+            for url, warc_ts, html, lang in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
+            ):
+                rows += 1
+                nbytes += len(html) if isinstance(html, (bytes, bytearray)) else 0
+                nbytes += len(url) if isinstance(url, str) else 0
+                nbytes += len(lang) if isinstance(lang, str) else 0
+                if isinstance(url, str):
+                    min_url = url if min_url is None else min(min_url, url)
+                    max_url = url if max_url is None else max(max_url, url)
+                rec = _extract_one(url, html, cfg)
+                rec["url"] = url
+                rec["warc_ts"] = warc_ts
+                rec["lang"] = lang
+                rec["config_hash"] = config_hash
+                rec["row_kind"] = "data"
+                for k in extra_cols:
+                    rec[k] = None
+                for k in all_cols:
+                    data[k].append(rec[k])
+            yield pd.DataFrame(data, columns=all_cols)
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        lineage = {k: [None] for k in all_cols}
+        lineage.update(
+            {
+                "row_kind": ["lineage"],
+                "config_hash": [config_hash],
+                "run_id": [run_id],
+                "stage": [stage],
+                "partition_id": [pid],
+                "rows_in": [rows],
+                "rows_out": [rows],
+                "bytes_in": [nbytes],
+                "wall_ms": [wall_ms],
+                "min_url": [min_url],
+                "max_url": [max_url],
+            }
+        )
+        yield pd.DataFrame(lineage, columns=all_cols)
+
+    src = df.select("url", "warc_ts", "html", "lang")
+    if cfg.salt_partitions > 0:
+        src = src.repartition(cfg.salt_partitions, F.xxhash64("url"))
+    return src.mapInPandas(run, schema=EXTRACT_COMBINED)
+
+
+def split_extract_lineage(combined: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(corpus, lineage) halves of the combined single-pass output."""
+    corpus_cols = [f.name for f in CORPUS_OUT.fields]
+    lineage_cols = [
+        "run_id", "stage", "partition_id", "rows_in", "rows_out",
+        "bytes_in", "wall_ms", "min_url", "max_url", "config_hash",
+    ]
+    corpus = combined.filter(F.col("row_kind") == "data").select(*corpus_cols)
+    lineage = combined.filter(F.col("row_kind") == "lineage").select(*lineage_cols)
+    return corpus, lineage
+
+
 def parse_lines_json(lines_json: str | None) -> list[dict[str, Any]]:
     """lines_json column → list of line dicts (executor-side helper for the
     spans/emit consumers)."""

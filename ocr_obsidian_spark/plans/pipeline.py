@@ -19,8 +19,9 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..operators.blocks import detect_blocks
 from ..operators.emit import BookMeta, emit_notes
-from ..operators.extract import extract_pages
+from ..operators.extract import extract_pages_with_lineage, split_extract_lineage
 from ..operators.lineage import partition_metrics
 from ..operators.printed_page import apply_printed_page_mode
 from ..operators.spans_op import make_spans
@@ -31,6 +32,7 @@ class PipelineResult:
     corpus: DataFrame
     spans: DataFrame | None
     notes: DataFrame | None
+    lineage: DataFrame | None = None
 
 
 def run_pipeline(
@@ -42,22 +44,35 @@ def run_pipeline(
     book_meta: BookMeta | None = None,
     broadcast_triggers: bool = True,
     persist_corpus: bool = True,
+    detect_triggers: bool = False,
 ) -> PipelineResult:
-    raw = extract_pages(pages, cfg)
+    """``detect_triggers=True`` computes block candidates FROM the pages
+    themselves (operators/blocks.py — the reference detect-highlights stage)
+    instead of consuming a supplied triggers table; the spans/notes half of
+    the pipeline then runs from raw input alone."""
+    if detect_triggers:
+        if triggers is not None:
+            raise ValueError("pass either triggers or detect_triggers, not both")
+        triggers = detect_blocks(pages, cfg)
+    # single pass: corpus rows + per-partition lineage rows from ONE
+    # mapInPandas (the input is never re-read for metrics)
+    combined = extract_pages_with_lineage(pages, cfg, run_id=run_id)
     if persist_corpus:
-        # stage boundary: the mode window + every downstream consumer read
-        # the one-pass extract output instead of re-running the UDF
-        # (the reference's single-OCR-pass rule, README.md:3-8; at cluster
-        # scale this boundary is the checkpointed corpus table itself)
+        # stage boundary: the mode window, the lineage split and every
+        # downstream consumer read the one-pass extract output instead of
+        # re-running the UDF (the reference's single-OCR-pass rule,
+        # README.md:3-8; at cluster scale this boundary is the checkpointed
+        # corpus table itself)
         from pyspark import StorageLevel
 
-        raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+        combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
+    raw, lineage = split_extract_lineage(combined)
     corpus = apply_printed_page_mode(raw, cfg)
     spans = notes = None
     if triggers is not None:
         spans = make_spans(corpus, triggers, cfg, broadcast_triggers=broadcast_triggers)
         notes = emit_notes(corpus, spans, cfg, run_id=run_id, book_meta=book_meta)
-    return PipelineResult(corpus=corpus, spans=spans, notes=notes)
+    return PipelineResult(corpus=corpus, spans=spans, notes=notes, lineage=lineage)
 
 
 def corpus_lineage(corpus: DataFrame, *, run_id: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:

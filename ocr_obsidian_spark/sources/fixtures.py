@@ -148,6 +148,64 @@ def _apply_header(pb: _PageBuilder, rng: random.Random, book_idx: int, page_num:
         pb.header("m", 90.0, 0.1)  # single roman char — below roman_min_len
 
 
+# highlight-stroke HSV colors, all inside the detection range
+# ([15,20,80]..[95,255,255], reference ingest/highlights.py:98-99)
+_HL_HSV = [(40, 120, 200), (25, 180, 230), (60, 90, 160), (85, 200, 240)]
+
+
+def _stroke(bbox: list[int], hsv: tuple[int, int, int]) -> dict[str, Any]:
+    return {"bbox": bbox, "hsv": list(hsv)}
+
+
+def _page_strokes(b: int, p: int, seed: int) -> list[dict[str, Any]]:
+    """The page's highlight-ink layer (FIXTURES.md §3 — detection form).
+
+    Consumes the SAME rng stream as fixture_trigger_rows, so the
+    line-overlapping strokes rasterize to exactly the candidate bboxes the
+    legacy trigger fixtures supply; on top of those it layers every
+    adversarial detection case: a sub-min-area blob, an out-of-HSV-range
+    stroke, a frame-margin stripe (pixel-space truncation), a near-edge
+    shape-reject block, a sub-kernel gap pair that morphology-close must
+    merge, and opening-removable speckles. Text ink is deliberately not
+    painted: it sits outside the highlight HSV range, so the mask would
+    drop it anyway (reference ingest/highlights.py:115-116).
+    """
+    rng = random.Random(f"trig/{seed}/{b}/{p}")
+    strokes: list[dict[str, Any]] = []
+    n = p % 4
+    for k in range(n):
+        line_idx = rng.randrange(0, 6)
+        y0 = _BODY_Y0 + line_idx * _LINE_GAP - 4
+        x0 = 80 + rng.randrange(0, 200)
+        bbox = [x0, y0, x0 + 260, y0 + _LINE_H + 8]
+        strokes.append(_stroke(bbox, _HL_HSV[(p + k) % 4]))
+        if k == 0 and p % 5 == 0:  # overlapping duplicate → one merged component
+            strokes.append(
+                _stroke([x0 + 15, y0 + 2, x0 + 275, y0 + _LINE_H + 10], _HL_HSV[(p + 1) % 4])
+            )
+    if p % 6 == 0:
+        # vertical stripe inside the frame-crop margin (pixel-space zeroing
+        # truncates it) and a near-edge block the shape gate must reject
+        strokes.append(_stroke([2, 150, 22, 900], (20, 150, 200)))
+        strokes.append(_stroke([4, 300, 80, 460], (30, 140, 210)))
+    if p % 3 == 0:
+        strokes.append(_stroke([600, 150, 610, 160], (45, 130, 220)))  # area 100 < 120
+    if p % 7 == 0:
+        strokes.append(_stroke([500, 60, 620, 100], (110, 180, 220)))  # hue 110 > 95
+    if p % 9 == 0:
+        # 4 px gap — a 5×5 close must bridge it into one component
+        strokes.append(_stroke([300, 1160, 360, 1190], (35, 110, 190)))
+        strokes.append(_stroke([364, 1160, 420, 1190], (35, 110, 190)))
+    srng = random.Random(f"spk/{seed}/{b}/{p}")
+    for _ in range(srng.randrange(3, 7)):  # 1-2 px speckles, opening removes
+        x = srng.randrange(60, 940)
+        y = srng.randrange(1250, 1380)
+        strokes.append(
+            _stroke([x, y, x + srng.choice([1, 2]), y + srng.choice([1, 2])], (50, 150, 210))
+        )
+    return strokes
+
+
 def _garbage_page(pb: _PageBuilder, rng: random.Random) -> None:
     for _ in range(6):
         pb.line(
@@ -199,6 +257,7 @@ def fixture_page_rows(
                 "page_height": PAGE_HEIGHT,
                 "scan_relpath": _scan_relpath(b, p),
                 "words": pb.words,
+                "strokes": _page_strokes(b, p, seed),
             }
             raw_text = "\n".join(
                 " ".join(w["t"] for w in pb.words if w["b"][1] == y)

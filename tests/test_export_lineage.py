@@ -89,6 +89,39 @@ def test_lineage_rows_cover_all_partitions(spark, corpus):
     assert sum(r["bytes_in"] for r in rows) > 0
 
 
+def test_single_pass_extract_lineage(spark, pages_df):
+    """extract_pages_with_lineage emits corpus AND per-partition metrics
+    from one map stage; the corpus half is identical to extract_pages."""
+    from ocr_obsidian_spark.operators.extract import (
+        extract_pages,
+        extract_pages_with_lineage,
+        split_extract_lineage,
+    )
+
+    src = pages_df.repartition(5)
+    combined = extract_pages_with_lineage(src, run_id="sp").cache()
+    got_corpus, lineage = split_extract_lineage(combined)
+    lrows = lineage.collect()
+    assert len(lrows) == 5
+    assert sum(r["rows_in"] for r in lrows) == pages_df.count()
+    assert all(r["stage"] == "extract" and r["run_id"] == "sp" for r in lrows)
+    assert sum(r["bytes_in"] for r in lrows) > 0
+    covered = [r for r in lrows if r["min_url"] is not None]
+    assert covered and all(r["min_url"] <= r["max_url"] for r in covered)
+    a = {r["url"]: r["extracted_text"] for r in got_corpus.collect()}
+    b = {r["url"]: r["extracted_text"] for r in extract_pages(pages_df).collect()}
+    assert a == b
+    combined.unpersist()
+
+
+def test_pipeline_result_carries_lineage(spark, pages_df):
+    from ocr_obsidian_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(pages_df, run_id="lr")
+    rows = res.lineage.collect()
+    assert rows and sum(r["rows_in"] for r in rows) == pages_df.count()
+
+
 def test_jsonl_corpus_roundtrip(spark, corpus, tmp_path):
     from ocr_obsidian_spark.sources.io import read_corpus_jsonl, write_jsonl
 
