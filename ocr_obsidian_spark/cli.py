@@ -1,0 +1,356 @@
+"""CLI: the reference's five-stage toolchain re-targeted at Spark tables.
+
+Mirrors reference ingest/cli.py:38-243 — five subcommands wired to the same
+pipeline stages, a YAML config surface with deep-merge-over-defaults
+(ingest/config.py:39-77 → config.load_pipeline_yaml), and the same
+error → exit-code contract (cli.py:224-242):
+
+    config error      → 3        overwrite refused → 4
+    dependency error  → 5        not implemented   → 2
+    anything else     → 1
+
+Tables stand in for the reference's directory trees: ``extract`` reads a
+pages parquet (or synthesizes the deterministic fixture corpus) and writes
+corpus + lineage parquet; ``detect-blocks``/``make-spans``/``emit-notes``
+each read the prior stage's table; ``export-text`` materializes per-book
+text files from the corpus. ``smoke`` chains all five on fixtures — the
+scripts/dev_smoke_test.ps1 analog (reference README.md:187-195).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import traceback
+
+from .config import ConfigError, PipelineConfig, load_pipeline_yaml
+
+
+class OverwriteError(RuntimeError):
+    """Fail-closed write refusal (reference ingest/utils_paths.py:75-95)."""
+
+
+class DependencyError(RuntimeError):
+    """A required runtime piece is missing (reference OcrDependencyError)."""
+
+
+def _check_out(path: str, overwrite: str) -> None:
+    if overwrite == "never" and os.path.exists(path):
+        raise OverwriteError(
+            f"Output exists and --overwrite=never: {path} (use --overwrite always)"
+        )
+
+
+def _session(args):
+    try:
+        from .session import build_session
+    except ImportError as exc:  # pragma: no cover — pyspark is baked in here
+        raise DependencyError(f"pyspark is required: {exc}") from exc
+    return build_session(
+        "ocr-obsidian-spark-cli",
+        args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def _load_pages(spark, pages_arg: str):
+    """``fixtures[:books,pages,seed]`` → synthesized corpus; else parquet."""
+    from .schemas import PAGES
+
+    if pages_arg.startswith("fixtures"):
+        from .sources.fixtures import fixture_page_rows
+
+        parts = pages_arg.split(":", 1)
+        books, pages, seed = 3, 18, 42
+        if len(parts) == 2:
+            try:
+                books, pages, seed = (int(v) for v in parts[1].split(","))
+            except ValueError as exc:
+                raise ConfigError(
+                    f"bad fixtures spec {pages_arg!r} (want fixtures:B,P,SEED)"
+                ) from exc
+        return spark.createDataFrame(fixture_page_rows(books, pages, seed), schema=PAGES)
+    return spark.read.schema(PAGES).parquet(pages_arg)
+
+
+def _cfg(args) -> PipelineConfig:
+    cfg = load_pipeline_yaml(getattr(args, "config", None))
+    if getattr(args, "no_clean_text", False):
+        from dataclasses import replace
+
+        cfg = replace(cfg, clean_text=False)
+    if getattr(args, "printed_page_debug", False):
+        from dataclasses import replace
+
+        cfg = replace(
+            cfg, printed_page=type(cfg.printed_page)(
+                **{**cfg.printed_page.__dict__, "debug": True}
+            )
+        )
+    return cfg
+
+
+def _load_book_meta(path: str | None):
+    """book YAML → (book title override, BookMeta) — reference
+    ingest/config.py:80-138 surface, minus the filesystem-path fields that
+    have no table analog."""
+    from .operators.emit import BookMeta
+
+    if path is None:
+        return None, None
+    import yaml
+    from pathlib import Path
+
+    p = Path(path)
+    if not p.exists():
+        raise ConfigError(f"Config file not found: {p}")
+    try:
+        raw = yaml.safe_load(p.read_text(encoding="utf-8")) or {}
+    except yaml.YAMLError as exc:
+        raise ConfigError(f"Invalid YAML in {p}: {exc}") from exc
+    if not isinstance(raw, dict):
+        raise ConfigError(f"Expected mapping in YAML file: {p}")
+    tags = raw.get("tags") or []
+    if not isinstance(tags, list):
+        raise ConfigError(f"tags must be a list in {p}")
+    meta = BookMeta(
+        title=str(raw.get("title", "")),
+        creator=str(raw.get("creator", "")),
+        year=str(raw.get("year", "")),
+        format=str(raw.get("format", "book")),
+        publisher_studio=str(raw.get("publisher_studio", "")),
+        note_type=str(raw.get("note_type", "literature_review")),
+        note_status=str(raw.get("note_status", "inbox")),
+        note_version=str(raw.get("note_version", "v0.1.3")),
+        yaml_schema_version=str(raw.get("YAML_schema_version", "v0.1.2")),
+        register=str(raw.get("register", "public")),
+        tags=tuple(str(t) for t in tags),
+    )
+    return str(raw.get("title", "")) or None, meta
+
+
+# ---------------------------------------------------------------------------
+# handlers
+# ---------------------------------------------------------------------------
+
+def run_extract(args) -> int:
+    from .operators.extract import extract_pages_with_lineage, split_extract_lineage
+    from .operators.printed_page import apply_printed_page_mode
+    from .sources.io import write_table
+
+    cfg = _cfg(args)
+    spark = _session(args)
+    corpus_out = os.path.join(args.out, "corpus")
+    lineage_out = os.path.join(args.out, "lineage")
+    _check_out(corpus_out, args.overwrite)
+    pages = _load_pages(spark, args.pages)
+    combined = extract_pages_with_lineage(pages, cfg, run_id=args.run_id).persist()
+    raw, lineage = split_extract_lineage(combined)
+    corpus = apply_printed_page_mode(raw, cfg)
+    mode = "overwrite" if args.overwrite == "always" else "error"
+    write_table(corpus, corpus_out, mode=mode)
+    write_table(lineage, lineage_out, mode="overwrite" if args.overwrite == "always" else "error")
+    n = spark.read.parquet(corpus_out).count()
+    combined.unpersist()
+    print(f"extract: wrote {n} corpus rows to {corpus_out} (run {args.run_id})")
+    return 0
+
+
+def run_detect_blocks(args) -> int:
+    from .operators.blocks import detect_blocks
+    from .sources.io import write_table
+
+    cfg = _cfg(args)
+    spark = _session(args)
+    _check_out(args.out, args.overwrite)
+    pages = _load_pages(spark, args.pages)
+    triggers = detect_blocks(pages, cfg)
+    write_table(triggers, args.out, mode="overwrite" if args.overwrite == "always" else "error")
+    n = spark.read.parquet(args.out).count()
+    print(f"detect-blocks: wrote {n} trigger rows to {args.out}")
+    return 0
+
+
+def run_make_spans(args) -> int:
+    from dataclasses import replace
+
+    from .operators.spans_op import make_spans
+    from .sources.io import write_table
+
+    cfg = _cfg(args)
+    cfg = replace(cfg, spans=type(cfg.spans)(
+        **{**cfg.spans.__dict__, "k_before": args.k_before, "k_after": args.k_after}
+    ))
+    spark = _session(args)
+    _check_out(args.out, args.overwrite)
+    corpus = spark.read.parquet(args.corpus)
+    triggers = spark.read.parquet(args.triggers)
+    spans = make_spans(corpus, triggers, cfg)
+    write_table(spans, args.out, mode="overwrite" if args.overwrite == "always" else "error")
+    n = spark.read.parquet(args.out).count()
+    print(f"make-spans: wrote {n} span rows to {args.out}")
+    return 0
+
+
+def run_emit_notes(args) -> int:
+    from .operators.emit import emit_notes
+    from .sources.io import write_table
+
+    cfg = _cfg(args)
+    spark = _session(args)
+    _check_out(args.out, args.overwrite)
+    _, meta = _load_book_meta(args.book)
+    corpus = spark.read.parquet(args.corpus)
+    spans = spark.read.parquet(args.spans)
+    notes = emit_notes(corpus, spans, cfg, run_id=args.run_id, book_meta=meta)
+    write_table(notes, args.out, mode="overwrite" if args.overwrite == "always" else "error")
+    n = spark.read.parquet(args.out).count()
+    print(f"emit-notes: wrote {n} notes to {args.out} (run {args.run_id})")
+    return 0
+
+
+def run_export_text(args) -> int:
+    from .operators.export_text import export_book_text
+
+    cfg = _cfg(args)
+    spark = _session(args)
+    title, _ = _load_book_meta(args.book)
+    corpus = spark.read.parquet(args.corpus)
+    out = export_book_text(corpus, fmt=args.format, title=title)
+    rows = out.collect()  # one small row per book — driver-side file sink
+    os.makedirs(args.out, exist_ok=True)
+    ext = "md" if args.format == "md" else "txt"
+    for r in rows:
+        path = os.path.join(args.out, f"book_{r['book_id']}.{ext}")
+        _check_out(path, args.overwrite)
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(r["content"])
+    print(f"export-text: wrote {len(rows)} book file(s) to {args.out}")
+    return 0
+
+
+def run_smoke(args) -> int:
+    """Chain extract → detect-blocks → make-spans → emit-notes →
+    export-text on fixtures from a clean directory (dev_smoke_test analog)."""
+    import tempfile
+    from types import SimpleNamespace
+
+    work = args.workdir or tempfile.mkdtemp(prefix="oos_smoke_")
+    base = dict(
+        master=args.master, shuffle_partitions=args.shuffle_partitions,
+        config=args.config, overwrite="always", run_id="smoke-run",
+        no_clean_text=False, printed_page_debug=False, book=None,
+    )
+    pages = "fixtures:2,10,7"
+    rc = run_extract(SimpleNamespace(**base, pages=pages, out=work))
+    rc |= run_detect_blocks(SimpleNamespace(**base, pages=pages, out=os.path.join(work, "triggers")))
+    rc |= run_make_spans(SimpleNamespace(
+        **base, corpus=os.path.join(work, "corpus"),
+        triggers=os.path.join(work, "triggers"),
+        out=os.path.join(work, "spans"), k_before=2, k_after=2,
+    ))
+    rc |= run_emit_notes(SimpleNamespace(
+        **base, corpus=os.path.join(work, "corpus"),
+        spans=os.path.join(work, "spans"), out=os.path.join(work, "notes"),
+    ))
+    rc |= run_export_text(SimpleNamespace(
+        **base, corpus=os.path.join(work, "corpus"),
+        out=os.path.join(work, "books"), format="md",
+    ))
+    print(f"smoke: all stages completed under {work}")
+    return rc
+
+
+# ---------------------------------------------------------------------------
+# parser + main
+# ---------------------------------------------------------------------------
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--master", default="local[*]", help="Spark master URL.")
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    p.add_argument("--config", default=None, help="pipeline YAML (deep-merged over defaults)")
+    p.add_argument("--overwrite", choices=["never", "always"], default="never")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="ocr_obsidian_spark", description="Spark-native extraction toolchain."
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("extract", help="pages → corpus + lineage tables (OCR-spine analog).")
+    _add_common(p)
+    p.add_argument("--pages", required=True, help="pages parquet path or fixtures[:B,P,SEED]")
+    p.add_argument("--out", required=True, help="output root (corpus/ + lineage/)")
+    p.add_argument("--run-id", default="run-0")
+    p.add_argument("--no-clean-text", action="store_true")
+    p.add_argument("--printed-page-debug", action="store_true",
+                   help="emit the top-10 candidate debug payload column")
+    p.set_defaults(handler=run_extract)
+
+    p = sub.add_parser("detect-blocks", help="pages → block-candidate triggers table.")
+    _add_common(p)
+    p.add_argument("--pages", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(handler=run_detect_blocks)
+
+    p = sub.add_parser("make-spans", help="corpus + triggers → spans table.")
+    _add_common(p)
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--triggers", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--k-before", type=int, default=2)
+    p.add_argument("--k-after", type=int, default=2)
+    p.set_defaults(handler=run_make_spans)
+
+    p = sub.add_parser("emit-notes", help="corpus + spans → notes table.")
+    _add_common(p)
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--spans", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--run-id", default="run-0")
+    p.add_argument("--book", default=None, help="book metadata YAML")
+    p.set_defaults(handler=run_emit_notes)
+
+    p = sub.add_parser("export-text", help="corpus → concatenated per-book text files.")
+    _add_common(p)
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--format", choices=["txt", "md"], default="txt")
+    p.add_argument("--book", default=None, help="book metadata YAML (title)")
+    p.set_defaults(handler=run_export_text)
+
+    p = sub.add_parser("smoke", help="chain all five stages on fixtures.")
+    _add_common(p)
+    p.add_argument("--workdir", default=None)
+    p.set_defaults(handler=run_smoke)
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    try:
+        return int(args.handler(args))
+    except ConfigError as exc:
+        print(f"ERROR: {exc}")
+        return 3
+    except OverwriteError as exc:
+        print(f"ERROR: {exc}")
+        return 4
+    except DependencyError as exc:
+        print(f"ERROR: {exc}")
+        return 5
+    except NotImplementedError as exc:
+        print(f"ERROR: {exc}")
+        return 2
+    except Exception as exc:  # defensive CLI boundary (reference cli.py:239-242)
+        print(f"ERROR: {exc}")
+        traceback.print_exc()
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

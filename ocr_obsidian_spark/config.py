@@ -19,7 +19,13 @@ from __future__ import annotations
 
 import hashlib
 import json
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, fields
+from typing import Any
+
+
+class ConfigError(RuntimeError):
+    """Invalid/missing configuration (reference ingest/config.py:34-36;
+    mapped to exit code 3 by the CLI, reference cli.py:224-226)."""
 
 
 @dataclass(frozen=True)
@@ -33,6 +39,7 @@ class QaThresholds:
 @dataclass(frozen=True)
 class PrintedPageConfig:
     detect: bool = True
+    debug: bool = False  # emit the top-10 candidate debug payload as data
     top_band_frac: float = 0.12
     min_conf: float = 40.0
     roman_max_value: int = 80
@@ -82,3 +89,74 @@ class PipelineConfig:
 
 
 DEFAULT_CONFIG = PipelineConfig()
+
+_SECTION_TYPES = {
+    "qa": QaThresholds,
+    "printed_page": PrintedPageConfig,
+    "spans": SpanConfig,
+    "blocks": BlockFilterConfig,
+}
+
+
+def deep_merge(base: dict[str, Any], override: dict[str, Any]) -> dict[str, Any]:
+    """Recursive dict merge, override wins (reference ingest/config.py:53-61)."""
+    merged = dict(base)
+    for key, value in override.items():
+        existing = merged.get(key)
+        if isinstance(existing, dict) and isinstance(value, dict):
+            merged[key] = deep_merge(existing, value)
+        else:
+            merged[key] = value
+    return merged
+
+
+def pipeline_config_from_dict(raw: dict[str, Any]) -> PipelineConfig:
+    """Deep-merge a (possibly partial, e.g. YAML-loaded) mapping over the
+    defaults and build a validated PipelineConfig. Unknown keys are a
+    ConfigError — a typo'd threshold must never silently fall back."""
+    merged = deep_merge(asdict(DEFAULT_CONFIG), raw or {})
+    top_known = {f.name for f in fields(PipelineConfig)}
+    unknown = set(merged) - top_known
+    if unknown:
+        raise ConfigError(f"unknown pipeline config keys: {sorted(unknown)}")
+    kwargs: dict[str, Any] = {}
+    for f in fields(PipelineConfig):
+        value = merged[f.name]
+        section = _SECTION_TYPES.get(f.name)
+        if section is not None:
+            if not isinstance(value, dict):
+                raise ConfigError(f"'{f.name}' must be a mapping")
+            known = {sf.name for sf in fields(section)}
+            bad = set(value) - known
+            if bad:
+                raise ConfigError(f"unknown keys in '{f.name}': {sorted(bad)}")
+            coerced = {
+                k: tuple(v) if isinstance(v, list) else v for k, v in value.items()
+            }
+            kwargs[f.name] = section(**coerced)
+        else:
+            kwargs[f.name] = value
+    return PipelineConfig(**kwargs)
+
+
+def load_pipeline_yaml(path: str | None) -> PipelineConfig:
+    """YAML file → PipelineConfig with deep-merge-over-defaults semantics
+    (reference ingest/config.py:39-77). ``None`` → defaults."""
+    if path is None:
+        return DEFAULT_CONFIG
+    import yaml
+
+    from pathlib import Path
+
+    p = Path(path)
+    if not p.exists():
+        raise ConfigError(f"Config file not found: {p}")
+    try:
+        loaded = yaml.safe_load(p.read_text(encoding="utf-8"))
+    except yaml.YAMLError as exc:
+        raise ConfigError(f"Invalid YAML in {p}: {exc}") from exc
+    if loaded is None:
+        loaded = {}
+    if not isinstance(loaded, dict):
+        raise ConfigError(f"Expected mapping in YAML file: {p}")
+    return pipeline_config_from_dict(loaded)

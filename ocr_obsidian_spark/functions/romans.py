@@ -142,6 +142,16 @@ def _terminal_token(line: dict[str, Any]) -> str | None:
     return m.group(1) if m else None
 
 
+def _strip_internal(c: dict[str, Any]) -> dict[str, Any]:
+    """Drop ranking-internal fields from a debug candidate (reference
+    ingest/page_numbers.py:138-142 — note `_roman_value` deliberately
+    survives, matching the reference)."""
+    out = dict(c)
+    out.pop("_preferred", None)
+    out.pop("_edge_score", None)
+    return out
+
+
 def detect_printed_page(
     words: list[dict[str, Any]],
     lines: list[dict[str, Any]],
@@ -154,10 +164,17 @@ def detect_printed_page(
     roman_max_value: int = 80,
     side: str = "neutral",
     max_top_lines: int = 5,
+    debug: bool = False,
 ) -> dict[str, Any]:
     """Rank top-band word and line-terminal candidates, prefer arabic over
     roman, return {printed_page, printed_page_text, printed_page_kind}
-    (reference ingest/page_numbers.py:145-271, minus debug payload).
+    (reference ingest/page_numbers.py:145-271).
+
+    ``debug=True`` adds a ``debug`` key holding the reference's
+    deterministic debug payload (page_numbers.py:226,259): the selected
+    candidate (internal ranking fields stripped), its kind, and the top-10
+    ranked candidates per family — run-to-run identical by construction
+    (the sort key is a total order).
     """
     band_limit = max(0.0, float(top_band_frac)) * max(1, int(page_height))
     min_confidence = float(min_conf)
@@ -203,12 +220,24 @@ def detect_printed_page(
         if c["conf"] >= min_confidence and _ARABIC.fullmatch(str(c["text"]))
     ]
     if arabic:
-        best = min(arabic, key=_sort_key)
-        return {
+        if debug:
+            ranked = sorted(arabic, key=_sort_key)
+            best = ranked[0]
+        else:
+            best = min(arabic, key=_sort_key)
+        result = {
             "printed_page": int(str(best["text"])),
             "printed_page_text": str(best["text"]),
             "printed_page_kind": "arabic",
         }
+        if debug:
+            result["debug"] = {
+                "selected": _strip_internal(best),
+                "selected_kind": "arabic",
+                "arabic_top_candidates": [_strip_internal(c) for c in ranked[:10]],
+                "roman_top_candidates": [],
+            }
+        return result
 
     romans: list[dict[str, Any]] = []
     for c in cands:
@@ -222,11 +251,31 @@ def detect_printed_page(
             continue
         romans.append({**c, "_roman_value": value})
     if romans:
-        best = min(romans, key=_sort_key)
-        return {
+        if debug:
+            ranked = sorted(romans, key=_sort_key)
+            best = ranked[0]
+        else:
+            best = min(romans, key=_sort_key)
+        result = {
             "printed_page": int(best["_roman_value"]),
             "printed_page_text": str(best["text"]),
             "printed_page_kind": "roman",
         }
+        if debug:
+            result["debug"] = {
+                "selected": _strip_internal(best),
+                "selected_kind": "roman",
+                "arabic_top_candidates": [],
+                "roman_top_candidates": [_strip_internal(c) for c in ranked[:10]],
+            }
+        return result
 
-    return {"printed_page": None, "printed_page_text": None, "printed_page_kind": None}
+    result = {"printed_page": None, "printed_page_text": None, "printed_page_kind": None}
+    if debug:
+        result["debug"] = {
+            "selected": None,
+            "selected_kind": None,
+            "arabic_top_candidates": [],
+            "roman_top_candidates": [],
+        }
+    return result

@@ -252,7 +252,15 @@ def detect_blocks(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> Dat
                 if found:
                     urls.append(url)
                     cands.append(found)
-            yield pd.DataFrame({"url": urls, "candidates": cands}, columns=["url", "candidates"])
+            # dtype=object even when empty: a default float64 empty column
+            # breaks Arrow conversion to the nested candidates type
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype=object),
+                    "candidates": pd.Series(cands, dtype=object),
+                },
+                columns=["url", "candidates"],
+            )
 
     return pages.select("url", "html").mapInPandas(run, schema=TRIGGERS)
 

@@ -113,7 +113,15 @@ def _extract_one(url: str, html: Any, cfg: PipelineConfig) -> dict[str, Any]:
             roman_max_value=cfg.printed_page.roman_max_value,
             side=infer_scan_side(scan_relpath),
             max_top_lines=cfg.printed_page.max_top_lines,
+            debug=cfg.printed_page.debug,
         )
+    # debug artifacts become data (SURVEY §2.10): the reference's
+    # deterministic top-10 candidate payload rides as a JSON column
+    pp_debug_json = (
+        json.dumps(pp["debug"], ensure_ascii=False, separators=(",", ":"))
+        if "debug" in pp
+        else None
+    )
 
     return {
         "book_id": book_id,
@@ -136,6 +144,7 @@ def _extract_one(url: str, html: Any, cfg: PipelineConfig) -> dict[str, Any]:
         "printed_page": pp["printed_page"],
         "printed_page_text": pp["printed_page_text"],
         "printed_page_kind": pp["printed_page_kind"],
+        "pp_debug_json": pp_debug_json,
     }
 
 

@@ -75,6 +75,9 @@ CORPUS = T.StructType(
         T.StructField("printed_page", T.IntegerType(), True),
         T.StructField("printed_page_text", T.StringType(), True),
         T.StructField("printed_page_kind", T.StringType(), True),
+        # detection debug payload as data (reference page_numbers.py:226,259
+        # debug artifact; null unless cfg.printed_page.debug)
+        T.StructField("pp_debug_json", T.StringType(), True),
         T.StructField("config_hash", T.StringType(), True),
     ]
 )

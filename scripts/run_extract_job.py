@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Cluster entry point: checkpoint-resumable extraction over a pages table.
 
+    ./scripts/make_pyfiles.sh  # build the zip AT SUBMIT TIME (never stale)
     spark-submit --py-files dist/ocr_obsidian_spark.zip \
         scripts/run_extract_job.py \
         --input /data/pages_parquet --out /data/corpus --run-id 2026-08-16T00 \

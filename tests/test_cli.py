@@ -1,0 +1,77 @@
+"""CLI + YAML config surface (reference ingest/cli.py:38-243 and
+ingest/config.py:39-77 analogs): deep-merge semantics, unknown-key
+rejection, the error → exit-code contract, and the five-stage smoke chain."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+
+from ocr_obsidian_spark.cli import main
+from ocr_obsidian_spark.config import (
+    ConfigError,
+    DEFAULT_CONFIG,
+    load_pipeline_yaml,
+    pipeline_config_from_dict,
+)
+
+
+def test_yaml_deep_merge_partial_override(tmp_path):
+    p = tmp_path / "pipeline.yaml"
+    p.write_text("qa:\n  max_pipe_ratio: 0.1\nblocks:\n  hsv_low: [10, 30, 90]\n")
+    cfg = load_pipeline_yaml(str(p))
+    # overridden keys land; sibling keys keep defaults
+    assert cfg.qa.max_pipe_ratio == 0.1
+    assert cfg.qa.min_avg_word_conf == DEFAULT_CONFIG.qa.min_avg_word_conf
+    assert cfg.blocks.hsv_low == (10, 30, 90)  # list → tuple coercion
+    assert cfg.blocks.hsv_high == DEFAULT_CONFIG.blocks.hsv_high
+    assert cfg.line_y_tolerance_px == DEFAULT_CONFIG.line_y_tolerance_px
+
+
+def test_unknown_keys_rejected():
+    with pytest.raises(ConfigError):
+        pipeline_config_from_dict({"qa": {"max_pip_ratio": 0.1}})  # typo
+    with pytest.raises(ConfigError):
+        pipeline_config_from_dict({"not_a_section": 1})
+
+
+def test_missing_and_invalid_yaml_exit_code_3(tmp_path):
+    assert main(["extract", "--pages", "fixtures:1,2,1", "--out", str(tmp_path / "o"),
+                 "--config", str(tmp_path / "missing.yaml")]) == 3
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("qa: [not, a, mapping\n")
+    assert main(["extract", "--pages", "fixtures:1,2,1", "--out", str(tmp_path / "o2"),
+                 "--config", str(bad)]) == 3
+
+
+def test_overwrite_never_exit_code_4(tmp_path):
+    out = tmp_path / "run"
+    (out / "corpus").mkdir(parents=True)
+    rc = main(["extract", "--pages", "fixtures:1,2,1", "--out", str(out)])
+    assert rc == 4
+
+
+def test_smoke_chains_all_five_stages(tmp_path, spark):
+    work = str(tmp_path / "smoke")
+    assert main(["smoke", "--workdir", work, "--master", "local[4]",
+                 "--shuffle-partitions", "8"]) == 0
+    for sub in ["corpus", "lineage", "triggers", "spans", "notes", "books"]:
+        assert (tmp_path / "smoke" / sub).exists(), sub
+    corpus = spark.read.parquet(f"{work}/corpus")
+    assert corpus.count() == 20
+    books = list((tmp_path / "smoke" / "books").glob("book_*.md"))
+    assert len(books) == 2
+    content = books[0].read_text(encoding="utf-8")
+    assert content.startswith("# b0") and "## Page " in content
+
+
+def test_module_entrypoint_help_runs_without_spark():
+    out = subprocess.run(
+        [sys.executable, "-m", "ocr_obsidian_spark", "--help"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert out.returncode == 0
+    for cmd in ["extract", "detect-blocks", "make-spans", "emit-notes", "export-text", "smoke"]:
+        assert cmd in out.stdout

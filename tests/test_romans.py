@@ -149,9 +149,55 @@ def test_detection_fuzz_against_reference():
             )
         side = rng.choice(["left", "right", "neutral"])
         ours = detect_printed_page(
-            words, lines, page_width=1000, page_height=1400, side=side
+            words, lines, page_width=1000, page_height=1400, side=side, debug=True
         )
-        expected, _ = oracle_detect(
-            _to_oracle_page(words, lines), page_width=1000, page_height=1400, side=side
+        expected, expected_debug = oracle_detect(
+            _to_oracle_page(words, lines),
+            page_width=1000, page_height=1400, side=side, debug=True,
         )
+        got_debug = ours.pop("debug")
         assert ours == expected
+        assert got_debug == expected_debug
+
+
+def test_debug_payload_determinism():
+    """Port of reference test_page_numbers.py:155-171: run twice, equal."""
+    words = [
+        _word("122", 940, 20, conf=95.0),
+        _word("14", 40, 20, conf=90.0),
+    ]
+    kwargs = dict(page_width=1000, page_height=1200, side="right", debug=True)
+    a = detect_printed_page(words, [], **kwargs)
+    b = detect_printed_page(words, [], **kwargs)
+    assert a == b
+    dbg = a["debug"]
+    assert dbg["selected_kind"] == "arabic"
+    assert dbg["selected"]["text"] == "122"  # right-side preference
+    assert len(dbg["arabic_top_candidates"]) == 2
+    assert dbg["arabic_top_candidates"][0] == dbg["selected"]
+    assert "_preferred" not in dbg["selected"] and "_edge_score" not in dbg["selected"]
+
+
+def test_debug_rides_as_corpus_column(spark, pages_df):
+    """Debug artifacts become DATA rows (SURVEY §2.10): run the extract
+    stage twice with debug on — the pp_debug_json column must be
+    byte-identical per url and structurally sane."""
+    import json as _json
+
+    from ocr_obsidian_spark.config import PipelineConfig, PrintedPageConfig
+    from ocr_obsidian_spark.operators.extract import extract_pages
+
+    cfg = PipelineConfig(printed_page=PrintedPageConfig(debug=True))
+    sample = pages_df.limit(12)
+    a = {r["url"]: r["pp_debug_json"] for r in extract_pages(sample, cfg).collect()}
+    b = {r["url"]: r["pp_debug_json"] for r in extract_pages(sample.repartition(4), cfg).collect()}
+    assert a == b and a
+    payloads = [_json.loads(v) for v in a.values() if v]
+    assert payloads
+    for p in payloads:
+        assert set(p) == {"selected", "selected_kind", "arabic_top_candidates", "roman_top_candidates"}
+        assert len(p["arabic_top_candidates"]) <= 10
+        assert len(p["roman_top_candidates"]) <= 10
+    # default config keeps the column null (no payload bloat unless asked)
+    off = extract_pages(sample).select("pp_debug_json").distinct().collect()
+    assert [r[0] for r in off] == [None]
