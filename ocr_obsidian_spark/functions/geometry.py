@@ -53,22 +53,36 @@ def group_lines(
     if not words:
         return []
 
+    import numpy as np
+
     ordered = sorted(words, key=lambda w: (y_center(w["bbox"]), w["bbox"][0]))
+    # first-match cluster search vectorized: a 10⁷-byte page has ~10⁵ words
+    # over ~10³ clusters, and the per-cluster python loop (reference
+    # ingest/ocr.py:100-111 shape) is O(n·k) with ~10⁸ interpreter ops —
+    # minutes on the skew tail. The numpy mirror of the running means keeps
+    # the EXACT float64 comparisons (same values, same first-match index)
+    # at C speed. Running mean via incremental sum — float-add order is
+    # identical to re-summing in insertion order, so the mean (and thus
+    # clustering) is bit-exact vs the reference's recompute (ocr.py:107).
     clusters: list[dict[str, Any]] = []
+    means = np.empty(len(ordered), dtype=np.float64)
+    k = 0
+    tol = float(y_tolerance_px)
     for w in ordered:
         cy = y_center(w["bbox"])
-        for cluster in clusters:
-            if abs(cy - cluster["cy"]) <= y_tolerance_px:
+        if k:
+            hit = np.abs(means[:k] - cy) <= tol
+            i = int(hit.argmax())
+            if hit[i]:
+                cluster = clusters[i]
                 cluster["words"].append(w)
-                # running mean via incremental sum — float-add order is
-                # identical to re-summing in insertion order, so the mean
-                # (and thus clustering) is bit-exact vs the reference's
-                # recompute (ingest/ocr.py:107) at O(n) instead of O(n²)
                 cluster["sum_y"] += cy
                 cluster["cy"] = cluster["sum_y"] / len(cluster["words"])
-                break
-        else:
-            clusters.append({"cy": cy, "sum_y": cy, "words": [w]})
+                means[i] = cluster["cy"]
+                continue
+        clusters.append({"cy": cy, "sum_y": cy, "words": [w]})
+        means[k] = cy
+        k += 1
 
     clusters.sort(key=lambda c: c["cy"])
     lines: list[dict[str, Any]] = []

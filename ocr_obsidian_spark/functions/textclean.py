@@ -155,16 +155,34 @@ def render_page_text(lines: Iterable[dict[str, Any]]) -> str:
         return ""
     cleaned = merge_hyphen_breaks(cleaned)
 
+    # O(total-length) fold. The naive accumulate-and-renormalize form
+    # (paragraph = normalize_spaces(paragraph + " " + nxt)) rescans the
+    # whole paragraph per appended line — O(P²), minutes on a 10⁷-byte
+    # page. Byte-identical shortcuts, each provable from the patterns:
+    #   * parts are clean_line/merge output ⇒ already space-normalized,
+    #     so " ".join(parts) IS the normalized paragraph (the trailing
+    #     map(normalize_spaces, ...) was a no-op);
+    #   * _HARD_STOP is a no-whitespace suffix pattern ⇒ its match on the
+    #     joined paragraph lies entirely inside the LAST part;
+    #   * _LIST_ITEM is a ≤5-char prefix pattern ⇒ its match lies inside
+    #     FIRST-part + the joining space.
     blocks: list[str] = []
-    paragraph = cleaned[0]
+    parts: list[str] = [cleaned[0]]
     for nxt in cleaned[1:]:
-        if looks_continuation(paragraph, nxt):
-            paragraph = normalize_spaces(paragraph + " " + nxt)
+        head = parts[0] if len(parts) == 1 else parts[0] + " "
+        cont = (
+            not _LIST_ITEM.match(head)
+            and not _LIST_ITEM.match(nxt)
+            and not _HARD_STOP.search(parts[-1])
+            and _LOWER_FIRST.match(nxt) is not None
+        )
+        if cont:
+            parts.append(nxt)
         else:
-            blocks.append(paragraph)
-            paragraph = nxt
-    blocks.append(paragraph)
-    return "\n\n".join(b for b in map(normalize_spaces, blocks) if b)
+            blocks.append(" ".join(parts))
+            parts = [nxt]
+    blocks.append(" ".join(parts))
+    return "\n\n".join(b for b in blocks if b)
 
 
 def render_raw_text(lines: Iterable[dict[str, Any]]) -> str:
