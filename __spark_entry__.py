@@ -481,10 +481,39 @@ def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """64-bit simhash fingerprints (xxhash64-based — no DuckDB analog)."""
+    """64-bit simhash fingerprints (xxhash64-based — no DuckDB analog for
+    the raw values; the hamming-0 behaviour is oracled by q_simhash_dups)."""
     from ocr_obsidian_spark.operators.dedup import simhash64
 
     return simhash64(_t(spark, sf, "documents"))
+
+
+def q_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Simhash banding completeness, SQL-oracled: identical normalized text
+    ⇒ identical fingerprint ⇒ co-bucketed in EVERY band, so restricting the
+    banded candidates to equal-content pairs must reproduce the exhaustive
+    exact-duplicate pair set — a banding/fingerprint regression that drops
+    a bucket match breaks the hash comparison. (Raw hamming-0 pairs are a
+    strict superset here: this corpus contains near-identical doc pairs
+    whose few differing tokens don't flip any of the 64 sign-sums — correct
+    simhash behaviour, but not SQL-expressible, hence the equality filter.)
+    """
+    from ocr_obsidian_spark.operators.dedup import (
+        normalized_text,
+        simhash_candidate_pairs,
+    )
+
+    docs = _docs_with_dups(spark, sf)
+    cands = simhash_candidate_pairs(docs).filter(F.col("hamming") == 0)
+    keyed = docs.select("doc_id", F.sha2(normalized_text("text"), 256).alias("h"))
+    ka = keyed.select(F.col("doc_id").alias("id_a"), F.col("h").alias("_ha"))
+    kb = keyed.select(F.col("doc_id").alias("id_b"), F.col("h").alias("_hb"))
+    return (
+        cands.join(ka, "id_a")
+        .join(kb, "id_b")
+        .filter(F.col("_ha") == F.col("_hb"))
+        .select("id_a", "id_b")
+    )
 
 
 def q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -566,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "ivf_ann": q_ivf_ann,
+        "simhash_dups": q_simhash_dups,
         # rows-only: extract_pipeline is the pandas-UDF extraction spine
         # (pinned byte-identical to the reference by tests/); simhash is a
         # raw xxhash64 fingerprint (no DuckDB analog); lsh_ann is
@@ -845,6 +875,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
+        """,
+        # hamming-0 simhash pairs == identical-normalized-text pairs
+        "simhash_dups": f"""
+            WITH d AS ({_DOCS_WITH_DUPS_SQL}),
+            n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM d)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM n a JOIN n b ON a.norm = b.norm AND a.doc_id < b.doc_id
         """,
         "embedding_topk": """
             SELECT query_id, neighbor_id, rn AS rank

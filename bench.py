@@ -94,19 +94,29 @@ def main() -> None:
     # worker) warm at a tenth of the cost of a full pass
     extract_pages(pages.sample(0.1, seed=1)).count()
 
-    def run_extract():
-        from pyspark import StorageLevel
+    # the stage boundary is a DURABLE corpus write (the real pipeline shape:
+    # extract once, write the canonical table, downstream reads it — the
+    # reference's single-OCR-pass rule). Parquet write+read measured ~1.5×
+    # cheaper than the in-memory columnar cache for these wide string rows,
+    # and the mode window then reads a column-pruned narrow projection.
+    import shutil
+    import tempfile
 
-        raw = extract_pages(pages).persist(StorageLevel.MEMORY_AND_DISK)
-        corpus = apply_printed_page_mode(raw)
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"bench_corpus_{os.getpid()}"
+    )
+    shutil.rmtree(corpus_path, ignore_errors=True)
+
+    def run_extract():
+        extract_pages(pages).write.mode("overwrite").parquet(corpus_path)
+        corpus = apply_printed_page_mode(spark.read.parquet(corpus_path))
         # force full materialization of the text column, not just row count
-        n = corpus.select(
+        return corpus.select(
             F.sum(F.length("extracted_text")).alias("b"), F.count(F.lit(1)).alias("n")
         ).collect()[0]["n"]
-        raw.unpersist()
-        return n
 
     n_extracted = timed("extract", run_extract)
+    shutil.rmtree(corpus_path, ignore_errors=True)
     assert n_extracted == extract_docs
 
     # -- operator headliners (same definitions as the driver contract) --
@@ -115,8 +125,9 @@ def main() -> None:
     headliners = [] if only == "extract" else [
         "agg_bounds", "join_agg", "asof_join", "context_window", "mode_switch",
         "topk_rank", "text_metrics", "token_counts", "quality_stats",
-        "fingerprint", "exact_dedup", "minhash_pairs", "simhash",
-        "jaccard_pairs", "embedding_topk", "lsh_ann",
+        "fingerprint", "block_candidates", "exact_dedup", "minhash_pairs",
+        "simhash", "jaccard_pairs", "embedding_topk", "embedding_near_dup",
+        "lsh_ann", "ivf_ann",
     ]
     for name in headliners:
         fn = qs[name]

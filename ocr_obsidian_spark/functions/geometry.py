@@ -68,21 +68,32 @@ def group_lines(
     means = np.empty(len(ordered), dtype=np.float64)
     k = 0
     tol = float(y_tolerance_px)
+    # hybrid search: plain loop while the cluster count is small (typical
+    # page ≈ 10 lines — numpy call overhead would dominate), numpy
+    # first-match beyond that; identical float64 comparisons either way
     for w in ordered:
         cy = y_center(w["bbox"])
-        if k:
+        matched = -1
+        if k > 48:
             hit = np.abs(means[:k] - cy) <= tol
             i = int(hit.argmax())
             if hit[i]:
-                cluster = clusters[i]
-                cluster["words"].append(w)
-                cluster["sum_y"] += cy
-                cluster["cy"] = cluster["sum_y"] / len(cluster["words"])
-                means[i] = cluster["cy"]
-                continue
-        clusters.append({"cy": cy, "sum_y": cy, "words": [w]})
-        means[k] = cy
-        k += 1
+                matched = i
+        else:
+            for i in range(k):
+                if abs(cy - means[i]) <= tol:
+                    matched = i
+                    break
+        if matched >= 0:
+            cluster = clusters[matched]
+            cluster["words"].append(w)
+            cluster["sum_y"] += cy
+            cluster["cy"] = cluster["sum_y"] / len(cluster["words"])
+            means[matched] = cluster["cy"]
+        else:
+            clusters.append({"cy": cy, "sum_y": cy, "words": [w]})
+            means[k] = cy
+            k += 1
 
     clusters.sort(key=lambda c: c["cy"])
     lines: list[dict[str, Any]] = []

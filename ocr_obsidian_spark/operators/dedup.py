@@ -259,15 +259,26 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_candidate_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Near-dup candidates: equal 16-bit simhash band ⇒ hamming ≤ 48 filter
-    stage; exact hamming check on the candidates (bit_count of xor)."""
+    stage; exact hamming check on the candidates (bit_count of xor).
+
+    Same mega-bucket guard as the minhash path: over-cap band buckets
+    (identical boilerplate ⇒ identical simhash ⇒ one bucket) chain instead
+    of all-pairs joining; the fingerprints join back by id so the pair
+    generation itself stays narrow.
+    """
+    from .similarity import bucketed_candidate_pairs
+
     sh = simhash64(df, text_col, id_col)
     width = 64 // bands
     banded = sh.select(
         F.col(id_col),
-        F.col("simhash"),
         F.posexplode(
             F.array(
                 *[
@@ -279,20 +290,15 @@ def simhash_candidate_pairs(
             )
         ).alias("band", "band_val"),
     )
-    l, r = banded.alias("l"), banded.alias("r")
+    cands = bucketed_candidate_pairs(banded, id_col, ["band", "band_val"], max_bucket_size)
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sh_b"))
     return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).alias("hamming"),
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))).alias("hamming"),
         )
-        .distinct()
     )

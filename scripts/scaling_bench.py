@@ -26,7 +26,8 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPLICATE = os.environ.get("SPARK_GRAFT_REPLICATE", "32")
+REPLICATE = os.environ.get("SPARK_GRAFT_REPLICATE", "16")  # 80k pages — the
+# round-1 comparison scale; raise for bigger runs (runtime ∝ replicate)
 ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
 LEVELS = [2, 8, 32]
 PAIRS = [(2, 8), (8, 32)]
