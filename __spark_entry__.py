@@ -534,6 +534,28 @@ def q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate GROUPS: distributed connected components
+    (min-label propagation with pointer doubling) over the verified
+    >=0.8-Jaccard pair graph. Oracle: DuckDB recursive-CTE transitive
+    closure over the same exhaustive pair set — every node must resolve to
+    the minimum id reachable in its component."""
+    from ocr_obsidian_spark.operators.dedup import (
+        minhash_lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+        pair_components,
+    )
+
+    docs = _docs_with_dups(spark, sf)
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.8, candidate_pairs=minhash_lsh_candidate_pairs(docs)
+    )
+    return pair_components(pairs).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate NN via multi-table hyperplane LSH (seeded projections —
     approximate by design, rows-only check)."""
@@ -596,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "ivf_ann": q_ivf_ann,
         "simhash_dups": q_simhash_dups,
+        "dedup_components": q_dedup_components,
         # rows-only: extract_pipeline is the pandas-UDF extraction spine
         # (pinned byte-identical to the reference by tests/); simhash is a
         # raw xxhash64 fingerprint (no DuckDB analog); lsh_ann is
@@ -876,7 +899,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
         """,
-        # hamming-0 simhash pairs == identical-normalized-text pairs
+        # connected components of the >=0.8-Jaccard pair graph via
+        # recursive transitive closure (component = min reachable id)
+        "dedup_components": _JACCARD_CTE.format(norm_sql=_NORM_SQL).replace(
+            "WITH d AS", "WITH RECURSIVE d AS", 1
+        ) + """
+            , p AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
+            ),
+            e AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM p
+            ),
+            reach(node, lab) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT e.dst, reach.lab FROM reach JOIN e ON e.src = reach.node
+            )
+            SELECT node AS doc_id, min(lab) AS component
+            FROM reach GROUP BY node
+        """,
+        # equal-content pairs restricted from the simhash candidates must
+        # equal the exhaustive identical-normalized-text pair set
         "simhash_dups": f"""
             WITH d AS ({_DOCS_WITH_DUPS_SQL}),
             n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM d)

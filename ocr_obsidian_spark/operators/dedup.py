@@ -230,6 +230,85 @@ def ngram_jaccard_pairs(
     )
 
 
+def pair_components(
+    pairs: DataFrame,
+    *,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) — connected components of the near-dup pair graph;
+    ``component`` is the minimum node id reachable. This is the stage that
+    turns candidate/verified PAIRS into duplicate GROUPS (and makes the
+    over-cap bucket chaining safe: a chained 10⁶-member cluster still
+    resolves to ONE component here).
+
+    Distributed min-label propagation with POINTER DOUBLING: each round
+    does (1) label(v) ← min(label(v), min over neighbours' labels) — one
+    join + groupBy — then (2) label(v) ← label(label(v)) — one self-join —
+    so convergence is O(log diameter) rounds, not O(diameter): a
+    1000-long chain resolves in ~10 rounds instead of 1000. Each round is
+    a fixed number of shuffles on (node, label) pairs only; convergence is
+    checked with a count per round (driver-side loop, standard for
+    iterative algorithms on Spark).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    labels = labels.localCheckpoint(eager=True)  # truncate lineage per round
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+            .select(F.col("src").alias("node"), "nl")
+        )
+        stepped = (
+            labels.join(neigh_min, "node", "left")
+            .select("node", F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"))
+        )
+        # pointer doubling: label ← label(label)
+        lab2 = stepped.select(F.col("node").alias("_n2"), F.col("label").alias("_l2"))
+        doubled = (
+            stepped.join(lab2, stepped.label == lab2._n2, "left")
+            .select("node", F.least(F.col("label"), F.coalesce("_l2", "label")).alias("label"))
+        )
+        doubled = doubled.localCheckpoint(eager=True)
+        changed = (
+            doubled.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = doubled
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (min id) per near-duplicate component; docs
+    in no pair survive untouched. The end-to-end near-dedup resolution:
+    candidates → verified pairs → components → keep-list anti-join."""
+    comps = pair_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash bigint): sign-sum of token-hash bits, fully relational.
 

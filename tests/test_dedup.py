@@ -104,6 +104,65 @@ def test_ngram_jaccard_scores(docs):
     assert all(abs(rows[p] - 1.0) < 1e-9 for p in exact)
 
 
+def _uf_components(n_ids, pairs):
+    parent = list(range(n_ids))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp = {}
+    for i in range(n_ids):
+        comp.setdefault(find(i), []).append(i)
+    return {min(v): set(v) for v in comp.values() if len(v) > 1}
+
+
+def test_pair_components_random_graph_vs_union_find(spark):
+    import random
+
+    from ocr_obsidian_spark.operators.dedup import pair_components
+
+    rng = random.Random(17)
+    n = 400
+    pairs = {tuple(sorted(rng.sample(range(n), 2))) for _ in range(180)}
+    df = spark.createDataFrame(sorted(pairs), "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in pair_components(df).collect()}
+    exp = _uf_components(n, pairs)
+    exp_label = {node: m for m, members in exp.items() for node in members}
+    # only nodes appearing in pairs are labeled
+    in_pairs = {x for p in pairs for x in p}
+    assert set(got) == in_pairs
+    for node in in_pairs:
+        assert got[node] == exp_label.get(node, node), node
+
+
+def test_pair_components_long_chain_converges(spark):
+    """A 1000-node path — exactly what over-cap bucket chaining emits for a
+    duplicate mega-cluster — must resolve to ONE component within the
+    default round budget (pointer doubling: O(log diameter))."""
+    from ocr_obsidian_spark.operators.dedup import pair_components
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(999)], "id_a long, id_b long")
+    rows = pair_components(df).collect()
+    assert len(rows) == 1000
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_drop_near_duplicates_end_to_end(docs):
+    from ocr_obsidian_spark.operators.dedup import drop_near_duplicates
+
+    cands = minhash_lsh_candidate_pairs(docs)
+    verified = ngram_jaccard_pairs(docs, threshold=0.95, candidate_pairs=cands)
+    kept = drop_near_duplicates(docs, verified)
+    # the 10 exact copies (ids 100000+) vanish; min-id originals survive
+    assert kept.filter((F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)).count() == 0
+    assert kept.filter(F.col("doc_id") < 10).count() == 10
+
+
 def test_simhash_stability_and_near_dup(docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
     for d in list(sh):
