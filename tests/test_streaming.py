@@ -77,6 +77,73 @@ def test_stream_ingest_metrics_watermarked(spark, fixture_pages, dirs, tmp_path)
     assert got.columns == ["window_start", "window_end", "lang", "n_docs", "n_bytes"]
 
 
+def test_stream_mode_switch_stateful_across_restarts(spark, fixture_pages, dirs, tmp_path):
+    """applyInPandasWithState per-book mode switch: the arabic trigger in
+    micro-batch 1 must null a roman arriving in a LATER query run — the
+    keyed state lives in the streaming checkpoint across restarts."""
+    from ocr_obsidian_spark.operators.extract import extract_pages
+    from ocr_obsidian_spark.streaming.stream_extract import (
+        MODE_SWITCH_OUT,
+        stream_mode_switch,
+    )
+
+    # book b00 script (fixtures): p1 ix, p2 x, p3 arabic 3 (< switch), p4
+    # arabic 12 (switch!), p5 roman xx (must be nulled), p6 arabic 14
+    b00 = [r for r in fixture_pages if "/book_b00/" in r["url"]][:6]
+    from ocr_obsidian_spark.schemas import PAGES
+
+    corpus = extract_pages(spark.createDataFrame(b00, schema=PAGES)).select(
+        "url", "book_id", "page_num", "printed_page", "printed_page_text", "printed_page_kind"
+    ).collect()
+    by_page = {r["page_num"]: r.asDict() for r in corpus}
+    src, out, ckpt = str(tmp_path / "msrc"), str(tmp_path / "mout"), str(tmp_path / "mckpt")
+
+    def feed(pages):
+        spark.createDataFrame(
+            [tuple(by_page[p][f.name] for f in MODE_SWITCH_OUT.fields) for p in pages],
+            schema=MODE_SWITCH_OUT,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(MODE_SWITCH_OUT).parquet(src)
+        q = (
+            stream_mode_switch(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    feed([1, 2, 3, 4])
+    drain()
+    got1 = {r["page_num"]: r for r in spark.read.parquet(out).collect()}
+    assert got1[1]["printed_page_kind"] == "roman"  # before the switch: kept
+    assert got1[4]["printed_page"] == 12            # the trigger keeps its value
+
+    feed([5, 6])  # arrives in a SEPARATE query run
+    drain()
+    got2 = {r["page_num"]: r for r in spark.read.parquet(out).collect()}
+    assert len(got2) == 6
+    assert got2[5]["printed_page"] is None          # nulled via restored state
+    assert got2[5]["printed_page_kind"] is None
+    assert got2[6]["printed_page"] == 14
+
+    # matches the batch window semantics exactly
+    from ocr_obsidian_spark.operators.printed_page import apply_printed_page_mode
+
+    batch = {
+        r["page_num"]: (r["printed_page"], r["printed_page_kind"])
+        for r in apply_printed_page_mode(
+            extract_pages(spark.createDataFrame(b00, schema=PAGES))
+        ).collect()
+    }
+    for p in range(1, 7):
+        assert (got2[p]["printed_page"], got2[p]["printed_page_kind"]) == batch[p], p
+
+
 def test_stream_dedup_drops_in_horizon_duplicates(spark, fixture_pages, dirs, tmp_path):
     dup_rows = fixture_pages[:10] + fixture_pages[:10]  # exact duplicate urls
     spark.createDataFrame(dup_rows, schema=PAGES).coalesce(1).write.mode("append").parquet(
