@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) against the reference oracle — the
+hand-rolled RNG fuzz elsewhere pins known failure modes; these search the
+input space adversarially."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from ingest.page_numbers import (
+    is_plausible_roman as oracle_plausible,
+    normalize_roman as oracle_norm,
+    roman_to_int as oracle_roman,
+)
+from ingest.render_text import (
+    _merge_hyphen_breaks as oracle_hyphen,
+    _normalize_spaces as oracle_spaces,
+    _token_is_junk as oracle_junk,
+    render_lines as oracle_render,
+)
+
+from ocr_obsidian_spark.functions.romans import (
+    is_plausible_roman,
+    normalize_roman,
+    roman_to_int,
+)
+from ocr_obsidian_spark.functions.textclean import (
+    merge_hyphen_breaks,
+    normalize_spaces,
+    render_page_text,
+    token_is_junk,
+)
+
+# text including roman chars, digits, punctuation, unicode, whitespace
+_texty = st.text(
+    alphabet=st.sampled_from(
+        list("ivxlcdmIVXLCDM0123456789abcXYZ .,-|\\()'\"!?\t\nÉßé•*")
+    ),
+    max_size=24,
+)
+
+
+@given(_texty)
+@settings(max_examples=400, deadline=None)
+def test_roman_parser_matches_reference(s):
+    assert normalize_roman(s) == oracle_norm(s)
+    assert roman_to_int(s) == oracle_roman(s)
+    assert is_plausible_roman(s, min_len=2, max_value=80) == oracle_plausible(
+        s, min_len=2, max_value=80
+    )
+
+
+@given(_texty, st.floats(min_value=0, max_value=100, allow_nan=False))
+@settings(max_examples=400, deadline=None)
+def test_junk_token_matches_reference(s, conf):
+    assert token_is_junk(s, conf) == oracle_junk(s, conf)
+
+
+@given(_texty)
+@settings(max_examples=300, deadline=None)
+def test_normalize_spaces_matches_reference(s):
+    assert normalize_spaces(s) == oracle_spaces(s)
+
+
+_line = st.text(
+    alphabet=st.sampled_from(list("abcdefgACD-.,'\")] 0123456789•*")), max_size=18
+)
+
+
+@given(st.lists(_line, max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_hyphen_merge_matches_reference(lines):
+    # the reference fold consumes pairs; inputs are post-clean lines
+    cleaned = [normalize_spaces(l) for l in lines if normalize_spaces(l)]
+    assert merge_hyphen_breaks(cleaned) == oracle_hyphen(list(cleaned))
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(_texty, st.floats(min_value=0, max_value=100, allow_nan=False)),
+            min_size=1,
+            max_size=5,
+        ),
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_render_byte_identical_property(line_words):
+    """THE invariant under arbitrary token streams: byte-identical render
+    (including the O(n) paragraph-fold rewrite's shortcut equivalences)."""
+    lines = []
+    for i, ws in enumerate(line_words):
+        words = [
+            {"text": t, "bbox": [10 * k, 30 * i, 10 * k + 8, 30 * i + 20], "confidence": c}
+            for k, (t, c) in enumerate(ws)
+        ]
+        lines.append(
+            {
+                "line_id": f"p1_l{i + 1}",
+                "bbox": [0, 30 * i, 100, 30 * i + 20],
+                "words": words,
+                "text": " ".join(t for t, _ in ws),
+            }
+        )
+    assert render_page_text(lines) == oracle_render(lines)
