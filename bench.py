@@ -27,7 +27,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "16"))  # 80k pages at
+# sf0.1 — the BENCH/BASELINE.md comparison scale
 
 
 def main() -> None:

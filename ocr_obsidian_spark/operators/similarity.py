@@ -207,10 +207,34 @@ def ivf_assign(
 def sample_centroids(
     df: DataFrame, k: int, *, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[list[float]]:
-    """Deterministic centroid seed: the k lowest-id vectors (stands in for
-    a k-means fit; swap in pyspark.ml KMeans with a fixed seed at scale)."""
+    """Deterministic centroid seed: the k lowest-id vectors. Kept as the
+    ORACLE-STABLE quantizer (the driver's ivf_ann query must reproduce
+    bit-identically round to round); real deployments use
+    ``kmeans_centroids`` below."""
     rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     return [[float(v) for v in r[0]] for r in rows]
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Fitted IVF coarse quantizer: seeded pyspark.ml KMeans over the
+    embedding column (the at-scale replacement for ``sample_centroids`` —
+    the fit is one MLlib job; the returned k centroids are tiny and ride
+    into ``ivf_assign`` as literals, so assignment stays map-only)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vdf = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(vdf)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
 def ivf_topk(

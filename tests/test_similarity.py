@@ -161,6 +161,31 @@ def test_near_dup_mega_cluster_bucket_cap(spark):
     assert stats["n_over_cap"] >= 1 and stats["max_bucket"] == 1000
 
 
+def test_ivf_with_kmeans_centroids(spark, emb, emb_np):
+    """The fitted-quantizer path: seeded KMeans centroids plug into the
+    same map-only assignment; recall at n_probe=3 must beat or match the
+    naive sample-centroid seed (a real fit spreads cells better)."""
+    from ocr_obsidian_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    ids, mat = emb_np
+    cents = kmeans_centroids(emb, 8, seed=7)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    # deterministic under the fixed seed
+    cents2 = kmeans_centroids(emb, 8, seed=7)
+    assert cents == cents2
+    queries = emb.filter(F.col("vec_id") < 20)
+    got = ivf_topk(emb, queries, cents, k=5, n_probe=3).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid in range(20):
+        exact = set(_oracle_topk(ids, mat, qid, k=5))
+        total += 5
+        hits += len(exact & by_q.get(qid, set()))
+    assert hits / total > 0.3
+
+
 def test_ivf_topk_recall_and_cells(spark, emb, emb_np):
     from ocr_obsidian_spark.operators.similarity import ivf_assign, ivf_topk, sample_centroids
 
