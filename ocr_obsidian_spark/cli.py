@@ -230,6 +230,37 @@ def run_export_text(args) -> int:
     return 0
 
 
+def run_dedup(args) -> int:
+    """documents table → deduplicated table (training-data suite from the
+    CLI): exact = single-shuffle content-hash window; near = minhash-LSH
+    candidates → Jaccard verification → connected components → keep-list."""
+    from .operators.dedup import (
+        drop_exact_duplicates,
+        drop_near_duplicates,
+        minhash_lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+    from .sources.io import write_table
+
+    spark = _session(args)
+    _check_out(args.out, args.overwrite)
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+    if args.mode == "exact":
+        kept = drop_exact_duplicates(docs, args.text_col, args.id_col)
+    else:
+        cands = minhash_lsh_candidate_pairs(docs, args.text_col, args.id_col)
+        pairs = ngram_jaccard_pairs(
+            docs, args.text_col, args.id_col,
+            threshold=args.threshold, candidate_pairs=cands,
+        )
+        kept = drop_near_duplicates(docs, pairs, args.id_col)
+    write_table(kept, args.out, mode="overwrite" if args.overwrite == "always" else "error")
+    n_out = spark.read.parquet(args.out).count()
+    print(f"dedup[{args.mode}]: {n_in} → {n_out} docs ({n_in - n_out} dropped) at {args.out}")
+    return 0
+
+
 def run_smoke(args) -> int:
     """Chain extract → detect-blocks → make-spans → emit-notes →
     export-text on fixtures from a clean directory (dev_smoke_test analog)."""
@@ -320,6 +351,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", choices=["txt", "md"], default="txt")
     p.add_argument("--book", default=None, help="book metadata YAML (title)")
     p.set_defaults(handler=run_export_text)
+
+    p = sub.add_parser("dedup", help="documents table → deduplicated table.")
+    _add_common(p)
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True)
+    p.add_argument("--mode", choices=["exact", "near"], default="exact")
+    p.add_argument("--threshold", type=float, default=0.8, help="near-dup Jaccard floor")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.set_defaults(handler=run_dedup)
 
     p = sub.add_parser("smoke", help="chain all five stages on fixtures.")
     _add_common(p)

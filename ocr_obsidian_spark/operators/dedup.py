@@ -291,6 +291,16 @@ def pair_components(
         labels = doubled
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"pair_components did not converge within {max_iter} rounds — "
+            "labels are an upper bound, not final components; raise max_iter "
+            "(diameter > 2^rounds is astronomically unlikely for dedup graphs)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

@@ -258,6 +258,10 @@ def extract_pages_with_lineage(
         lineage = {k: [None] for k in all_cols}
         lineage.update(
             {
+                # synthetic url so the lineage row BUCKETS like data rows —
+                # the combined frame can flow through the checkpointed
+                # bucket writer unchanged (scripts/run_extract_job.py)
+                "url": [f"lineage://{stage}/{run_id}/{pid}"],
                 "row_kind": ["lineage"],
                 "config_hash": [config_hash],
                 "run_id": [run_id],

@@ -33,28 +33,33 @@ def main() -> None:
 
     from ocr_obsidian_spark.config import DEFAULT_CONFIG, PipelineConfig
     from ocr_obsidian_spark.operators.checkpoint import read_output, run_resumable
-    from ocr_obsidian_spark.operators.extract import extract_pages
-    from ocr_obsidian_spark.operators.lineage import partition_metrics
+    from ocr_obsidian_spark.operators.extract import (
+        extract_pages_with_lineage,
+        split_extract_lineage,
+    )
     from ocr_obsidian_spark.operators.printed_page import apply_printed_page_mode
 
     cfg = PipelineConfig(salt_partitions=args.salt_partitions) if args.salt_partitions else DEFAULT_CONFIG
 
+    # SINGLE PASS: corpus rows + per-partition lineage rows come out of the
+    # same mapInPandas; lineage rows carry a synthetic lineage:// url so
+    # they bucket and commit exactly like data — no second read of the
+    # input, and resume semantics cover the metrics too.
     pages = spark.read.parquet(args.input)
     n_new = run_resumable(
         spark,
         pages,
-        lambda df: extract_pages(df, cfg),
+        lambda df: extract_pages_with_lineage(df, cfg, run_id=args.run_id),
         out_dir=args.out,
         run_id=args.run_id,
         n_buckets=args.buckets,
     )
     print(f"committed {n_new} new buckets")
 
-    corpus = apply_printed_page_mode(read_output(spark, args.out), cfg)
-    metrics = partition_metrics(
-        corpus, run_id=args.run_id, stage="extract", config_hash=cfg.config_hash()
-    )
-    metrics.write.mode("append").parquet(f"{args.out}/_lineage")
+    corpus_raw, lineage = split_extract_lineage(read_output(spark, args.out))
+    lineage.write.mode("append").parquet(f"{args.out}/_lineage")
+    corpus = apply_printed_page_mode(corpus_raw, cfg)
+    print(f"corpus rows: {corpus.count()}, lineage rows: {lineage.count()}")
     spark.stop()
 
 

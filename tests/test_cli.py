@@ -67,6 +67,28 @@ def test_smoke_chains_all_five_stages(tmp_path, spark):
     assert content.startswith("# b0") and "## Page " in content
 
 
+def test_dedup_subcommand_exact_and_near(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    dup = docs.limit(5).select((F.col("doc_id") + 9000).alias("doc_id"),
+                               "text", "lang", "source", "n_chars")
+    src = str(tmp_path / "docs")
+    docs.unionByName(dup).write.parquet(src)
+    out1 = str(tmp_path / "deduped")
+    assert main(["dedup", "--docs", src, "--out", out1]) == 0
+    assert spark.read.parquet(out1).count() == 60
+    out2 = str(tmp_path / "near")
+    assert main(["dedup", "--docs", src, "--out", out2, "--mode", "near",
+                 "--threshold", "0.9"]) == 0
+    near = spark.read.parquet(out2)
+    # all injected copies resolve to their min-id twin; the base corpus
+    # itself contains a couple of genuine >=0.9 near-dups, so <= 60
+    assert near.filter(F.col("doc_id") >= 9000).count() == 0
+    assert near.filter(F.col("doc_id") < 5).count() == 5
+    assert near.count() <= 60
+
+
 def test_module_entrypoint_help_runs_without_spark():
     out = subprocess.run(
         [sys.executable, "-m", "ocr_obsidian_spark", "--help"],
