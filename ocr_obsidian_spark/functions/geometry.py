@@ -55,7 +55,10 @@ def group_lines(
 
     import numpy as np
 
-    ordered = sorted(words, key=lambda w: (y_center(w["bbox"]), w["bbox"][0]))
+    keyed = sorted(
+        ((y_center(w["bbox"]), w["bbox"][0], w) for w in words),
+        key=lambda t: (t[0], t[1]),
+    )
     # first-match cluster search vectorized: a 10⁷-byte page has ~10⁵ words
     # over ~10³ clusters, and the per-cluster python loop (reference
     # ingest/ocr.py:100-111 shape) is O(n·k) with ~10⁸ interpreter ops —
@@ -65,14 +68,13 @@ def group_lines(
     # identical to re-summing in insertion order, so the mean (and thus
     # clustering) is bit-exact vs the reference's recompute (ocr.py:107).
     clusters: list[dict[str, Any]] = []
-    means = np.empty(len(ordered), dtype=np.float64)
+    means = np.empty(len(keyed), dtype=np.float64)
     k = 0
     tol = float(y_tolerance_px)
     # hybrid search: plain loop while the cluster count is small (typical
     # page ≈ 10 lines — numpy call overhead would dominate), numpy
     # first-match beyond that; identical float64 comparisons either way
-    for w in ordered:
-        cy = y_center(w["bbox"])
+    for cy, _, w in keyed:
         matched = -1
         if k > 48:
             hit = np.abs(means[:k] - cy) <= tol

@@ -55,6 +55,13 @@ def token_is_junk(token: str, confidence: float) -> bool:
     conf = float(confidence)
     if not value:
         return True
+    # exact fast path for the overwhelmingly common case — a confident
+    # all-letter token: every rule below is conditioned on pipes/backslashes
+    # (absent), non-alnum single chars (impossible), or conf < 85 (the spew,
+    # short-alpha and alpha-ratio rules all require lower confidence), so
+    # the full table provably evaluates to False.
+    if conf >= 85.0 and value.isalpha():
+        return False
     if _ALL_PIPES.fullmatch(value):
         return True
     if conf < 85.0 and ("|" in value or "\\" in value):
