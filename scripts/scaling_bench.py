@@ -26,8 +26,13 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPLICATE = os.environ.get("SPARK_GRAFT_REPLICATE", "16")  # 80k pages — the
-# round-1 comparison scale; raise for bigger runs (runtime ∝ replicate)
+# 160k pages for the SCALING levels: double the per-query bench scale so
+# fixed per-JVM costs (session bring-up, worker warm, codegen) amortize —
+# the efficiency ratio should measure the map work, not constant overhead.
+# Identical input at every level, as the criterion requires. The per-query
+# FULL bench stays at the 80k comparison scale (bench.py default).
+REPLICATE = os.environ.get("SPARK_GRAFT_REPLICATE", "32")
+REPLICATE_FULL = os.environ.get("SPARK_GRAFT_REPLICATE_FULL", "16")
 ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
 LEVELS = [2, 8, 32]
 PAIRS = [(2, 8), (8, 32)]
@@ -38,7 +43,7 @@ def run_level(cpus: int, extract_only: bool = True) -> dict:
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=SF_DIR,
-        SPARK_GRAFT_REPLICATE=REPLICATE,
+        SPARK_GRAFT_REPLICATE=REPLICATE if extract_only else REPLICATE_FULL,
     )
     if extract_only:
         env["SPARK_GRAFT_ONLY"] = "extract"
@@ -72,8 +77,16 @@ def main() -> None:
         f"| {a} → {b} | {effs[(a, b)]:.3f} |" for a, b in PAIRS
     )
 
-    print("full bench at local[32] ...", file=sys.stderr)
-    full = run_level(32, extract_only=False)
+    # full bench: interleaved best-of-ROUNDS per query (single samples are
+    # meaningless on this host — CLAUDE.md noise protocol)
+    full_queries: dict[str, float] = {}
+    full = None
+    for r in range(ROUNDS):
+        print(f"full bench at local[32] ({r + 1}/{ROUNDS}) ...", file=sys.stderr)
+        full = run_level(32, extract_only=False)
+        for q, t in full["queries"].items():
+            full_queries[q] = min(full_queries.get(q, float("inf")), t)
+    full["queries"] = full_queries
 
     skew_path = REPO / "BENCH" / "SKEW.json"
     if skew_path.exists():
@@ -134,7 +147,11 @@ host-overcommitted — a 32-process CPU spin measures ~14% steal time and a
 cannot deliver 4× local[8] here. The 2→8 pair runs in the uncontended
 regime and is the faithful N→4N analog.
 
-Per-query seconds, full bench at local[32] (sf = {SF_DIR}):
+Per-query seconds at local[32], BEST OF {ROUNDS} interleaved full-bench
+runs at the 80k-page comparison scale (single samples are meaningless on
+this host — 2× noise windows; the extract row includes the durable corpus
+parquet write + mode window + full-text agg, the real stage boundary)
+(sf = {SF_DIR}):
 
 ```json
 {json.dumps(full['queries'], indent=2)}
