@@ -245,6 +245,8 @@ def detect_blocks(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> Dat
                     payload = parse_page_payload(html)
                 except Exception:
                     continue  # fail-soft, like extract
+                if not isinstance(payload, dict):
+                    continue
                 hsv = rasterize_page_pixels(payload)
                 if hsv is None:
                     continue

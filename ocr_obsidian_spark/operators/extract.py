@@ -67,6 +67,9 @@ def _extract_one(url: str, html: Any, cfg: PipelineConfig) -> dict[str, Any]:
         except Exception:
             payload = {}
             parse_ok = False
+        if not isinstance(payload, dict):  # valid JSON, wrong shape
+            payload = {}
+            parse_ok = False
     page_width = int(payload.get("page_width", 1000))
     page_height = int(payload.get("page_height", 1400))
     scan_relpath = str(payload.get("scan_relpath", ""))

@@ -224,6 +224,46 @@ def test_notes_emitted_and_valid(pipeline_result):
         seen_paths.add(n["note_path"])
 
 
+def test_malformed_payloads_fail_soft(spark):
+    """At 10^12 docs a corrupt payload must degrade to a flagged row, never
+    kill the stage — NULL html, truncated JSON, non-dict JSON, words of the
+    wrong type, and words with broken bboxes all survive with
+    parse_ok=False; detection skips them without error."""
+    import datetime as _dt
+    import json as _json
+
+    from ocr_obsidian_spark.operators.blocks import detect_blocks
+    from ocr_obsidian_spark.operators.extract import extract_pages
+    from ocr_obsidian_spark.schemas import PAGES
+
+    ts = _dt.datetime(2020, 1, 1, tzinfo=_dt.timezone.utc)
+    good = _json.dumps(
+        {"page_width": 1000, "page_height": 1400, "scan_relpath": "s.png",
+         "words": [{"t": "Hello", "b": [10, 300, 60, 322], "c": 95.0}]}
+    ).encode()
+    rows = [
+        ("https://x.test/book_b/page_0001", ts, None, "", "eng"),
+        ("https://x.test/book_b/page_0002", ts, b"{truncated", "", "eng"),
+        ("https://x.test/book_b/page_0003", ts, b"[1,2,3]", "", "eng"),
+        ("https://x.test/book_b/page_0004", ts, b'{"words": 42}', "", "eng"),
+        ("https://x.test/book_b/page_0005", ts,
+         b'{"words": [{"t": "x", "b": [1], "c": 90.0}, {"t": "ok", "b": [0,0,30,20], "c": 90.0}]}',
+         "", "eng"),
+        ("https://x.test/book_b/page_0006", ts, good, "", "eng"),
+    ]
+    df = spark.createDataFrame(rows, schema=PAGES)
+    out = {r["page_num"]: r for r in extract_pages(df).collect()}
+    assert len(out) == 6
+    for p in (1, 2, 3, 4, 5):
+        assert out[p]["parse_ok"] is False, p
+    assert out[6]["parse_ok"] is True
+    assert out[6]["extracted_text"] == "Hello"
+    # the salvageable word on page 5 still extracts
+    assert out[5]["extracted_text"] == "ok"
+    # detection skips undecodable/pixel-less pages silently
+    assert detect_blocks(df).count() == 0
+
+
 def test_determinism_across_partitionings(spark, pages_df):
     from ocr_obsidian_spark.operators.extract import extract_pages
     from ocr_obsidian_spark.operators.printed_page import apply_printed_page_mode
