@@ -211,7 +211,7 @@ def rasterize_page_pixels(payload: dict[str, Any]) -> np.ndarray | None:
     pixel layer at all (pure-text page) — detection skips it.
     """
     strokes = payload.get("strokes")
-    if strokes is None:
+    if not isinstance(strokes, list):
         return None
     h = int(payload.get("page_height", 1400))
     w = int(payload.get("page_width", 1000))
@@ -247,10 +247,13 @@ def detect_blocks(pages: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> Dat
                     continue  # fail-soft, like extract
                 if not isinstance(payload, dict):
                     continue
-                hsv = rasterize_page_pixels(payload)
-                if hsv is None:
-                    continue
-                found = detect_page_candidates(hsv, bcfg)
+                try:
+                    hsv = rasterize_page_pixels(payload)
+                    if hsv is None:
+                        continue
+                    found = detect_page_candidates(hsv, bcfg)
+                except Exception:
+                    continue  # malformed stroke entries degrade per page
                 if found:
                     urls.append(url)
                     cands.append(found)

@@ -324,6 +324,29 @@ def test_spans_e2e_from_detected_candidates(spark, pages_df, fixture_pages, dete
 # web-graft text-density classifier
 # ---------------------------------------------------------------------------
 
+def test_detect_blocks_fail_soft_on_malformed_strokes(spark):
+    """Wrong-shaped stroke layers degrade per page, never kill the stage."""
+    import datetime as _dt
+    import json as _json
+
+    from ocr_obsidian_spark.schemas import PAGES
+
+    ts = _dt.datetime(2020, 1, 1, tzinfo=_dt.timezone.utc)
+    ok = _json.dumps(
+        {"page_width": 1000, "page_height": 1400,
+         "strokes": [{"bbox": [100, 300, 360, 340], "hsv": [40, 120, 200]}]}
+    ).encode()
+    rows = [
+        ("https://x.test/p1", ts, b'{"strokes": 42}', "", "eng"),
+        ("https://x.test/p2", ts, b'{"strokes": [{"bad": 1}]}', "", "eng"),
+        ("https://x.test/p3", ts, b'{"strokes": [{"bbox": [1,2], "hsv": [1]}]}', "", "eng"),
+        ("https://x.test/p4", ts, ok, "", "eng"),
+    ]
+    out = detect_blocks(spark.createDataFrame(rows, schema=PAGES)).collect()
+    assert [r["url"] for r in out] == ["https://x.test/p4"]
+    assert len(out[0]["candidates"]) == 1
+
+
 def test_classify_text_blocks_features_and_gate(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog and keeps running "
