@@ -89,6 +89,62 @@ def extract_media_features(
     return df.select("url", payload_col, meta_col).mapInPandas(run, schema=MEDIA_FEATURES)
 
 
+RESIZED = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("scale", T.DoubleType(), False),
+        T.StructField("payload_sha256", T.StringType(), False),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    max_side: int = 512,
+    payload_col: str = "payload",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Resize plumbing for image payloads: aspect-preserving target-dimension
+    math + Arrow batch shape are real; the pixel resample itself is the same
+    stubbed codec boundary as ``decode_image`` (the output row carries the
+    input content hash in place of resized bytes). Pages without known
+    dimensions pass through at scale 1.0."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict[str, Any]] = []
+            for url, payload, meta in zip(pdf["url"], pdf[payload_col], pdf[meta_col]):
+                meta = meta or {}
+                w = meta.get("width")
+                h = meta.get("height")
+                if w and h and max(int(w), int(h)) > max_side:
+                    scale = max_side / float(max(int(w), int(h)))
+                    ow = max(1, int(round(int(w) * scale)))
+                    oh = max(1, int(round(int(h) * scale)))
+                else:
+                    scale, ow, oh = 1.0, int(w or 0), int(h or 0)
+                data = bytes(payload) if payload is not None else b""
+                out.append(
+                    {
+                        "url": url,
+                        "out_width": ow,
+                        "out_height": oh,
+                        "scale": float(scale),
+                        "payload_sha256": hashlib.sha256(data).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED.fields])
+
+    return (
+        df.filter(F.col(f"{meta_col}.media_type") == "image")
+        .select("url", payload_col, meta_col)
+        .mapInPandas(run, schema=RESIZED)
+    )
+
+
 def sample_frames(
     df: DataFrame, *, every_ms: int = 1000, payload_col: str = "payload",
     meta_col: str = "media_meta",

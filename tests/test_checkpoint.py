@@ -68,6 +68,40 @@ def test_zero_row_buckets_still_commit(spark, pages_df, tmp_path):
     assert n2 == 0
 
 
+def test_multimodal_resize_and_frames_plumbing(spark):
+    from ocr_obsidian_spark.operators.multimodal import (
+        MEDIA_META,
+        resize_images,
+        sample_frames,
+    )
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META),
+        ]
+    )
+    rows = [
+        ("img-big", b"x" * 10, {"media_type": "image", "mime": "image/png",
+                                "width": 2048, "height": 1024, "duration_ms": None}),
+        ("img-small", b"y", {"media_type": "image", "mime": "image/png",
+                             "width": 100, "height": 60, "duration_ms": None}),
+        ("vid", b"z", {"media_type": "video", "mime": "video/mp4",
+                       "width": 640, "height": 480, "duration_ms": 3500}),
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    rz = {r["url"]: r for r in resize_images(df, max_side=512).collect()}
+    assert set(rz) == {"img-big", "img-small"}  # video filtered out
+    assert (rz["img-big"]["out_width"], rz["img-big"]["out_height"]) == (512, 256)
+    assert rz["img-big"]["scale"] == 0.25
+    assert (rz["img-small"]["out_width"], rz["img-small"]["scale"]) == (100, 1.0)
+    fr = sample_frames(df, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in fr] == [0, 1000, 2000, 3000]
+    assert all(r["url"] == "vid" for r in fr)
+
+
 def test_multimodal_stub_features(spark):
     from ocr_obsidian_spark.operators.multimodal import extract_media_features
 
