@@ -68,7 +68,11 @@ def group_lines(
     # identical to re-summing in insertion order, so the mean (and thus
     # clustering) is bit-exact vs the reference's recompute (ocr.py:107).
     clusters: list[dict[str, Any]] = []
+    # means kept twice: a plain-float list for the small-k loop (numpy
+    # scalar reads cost ~5× a float compare) and a numpy mirror for the
+    # vectorized path — same float64 values, so identical comparisons
     means = np.empty(len(keyed), dtype=np.float64)
+    means_f: list[float] = []
     k = 0
     tol = float(y_tolerance_px)
     # hybrid search: plain loop while the cluster count is small (typical
@@ -83,18 +87,21 @@ def group_lines(
                 matched = i
         else:
             for i in range(k):
-                if abs(cy - means[i]) <= tol:
+                if abs(cy - means_f[i]) <= tol:
                     matched = i
                     break
         if matched >= 0:
             cluster = clusters[matched]
             cluster["words"].append(w)
             cluster["sum_y"] += cy
-            cluster["cy"] = cluster["sum_y"] / len(cluster["words"])
-            means[matched] = cluster["cy"]
+            m = cluster["sum_y"] / len(cluster["words"])
+            cluster["cy"] = m
+            means[matched] = m
+            means_f[matched] = m
         else:
             clusters.append({"cy": cy, "sum_y": cy, "words": [w]})
             means[k] = cy
+            means_f.append(cy)
             k += 1
 
     clusters.sort(key=lambda c: c["cy"])
