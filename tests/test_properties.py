@@ -73,6 +73,57 @@ def test_hyphen_merge_matches_reference(lines):
     assert merge_hyphen_breaks(cleaned) == oracle_hyphen(list(cleaned))
 
 
+@given(st.text(alphabet=st.sampled_from(list("abXY_012.lLrR/\\")), max_size=16))
+@settings(max_examples=300, deadline=None)
+def test_infer_scan_side_matches_reference(name):
+    from ingest.page_numbers import infer_scan_side as oracle_side
+
+    from ocr_obsidian_spark.functions.romans import infer_scan_side
+
+    assert infer_scan_side(name) == oracle_side(name)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(_texty, st.floats(min_value=0, max_value=100, allow_nan=False)),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_qa_metrics_match_reference(line_words):
+    from ingest.qa_metrics import (
+        compute_text_metrics as oracle_metrics,
+        is_obviously_empty_or_garbage as oracle_gate,
+    )
+
+    from ocr_obsidian_spark.functions.qa import compute_text_metrics, is_garbage_page
+
+    lines = []
+    for i, ws in enumerate(line_words):
+        words = [
+            {"text": t, "bbox": [10 * k, 30 * i, 10 * k + 8, 30 * i + 20], "confidence": c}
+            for k, (t, c) in enumerate(ws)
+        ]
+        lines.append(
+            {
+                "line_id": f"p1_l{i + 1}",
+                "bbox": [0, 30 * i, 100, 30 * i + 20],
+                "words": words,
+                "text": " ".join(t for t, _ in ws),
+            }
+        )
+    got, exp = compute_text_metrics(lines), oracle_metrics(lines)
+    assert got == exp
+    from ocr_obsidian_spark.config import DEFAULT_CONFIG
+
+    assert is_garbage_page(got, DEFAULT_CONFIG.qa) == oracle_gate(exp)
+
+
 @given(
     st.lists(
         st.lists(
