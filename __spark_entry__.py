@@ -556,6 +556,23 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_near_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end near-dedup resolution: candidates → verified >=0.8
+    Jaccard pairs → connected components → min-id survivors. The oracle
+    recomputes the keep-list from the recursive-CTE component closure."""
+    from ocr_obsidian_spark.operators.dedup import (
+        drop_near_duplicates,
+        minhash_lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs_with_dups(spark, sf)
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.8, candidate_pairs=minhash_lsh_candidate_pairs(docs)
+    )
+    return drop_near_duplicates(docs, pairs).select("doc_id")
+
+
 def q_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate NN via multi-table hyperplane LSH (seeded projections —
     approximate by design, rows-only check)."""
@@ -619,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "simhash_dups": q_simhash_dups,
         "dedup_components": q_dedup_components,
+        "near_dedup_keep": q_near_dedup_keep,
         # rows-only: extract_pipeline is the pandas-UDF extraction spine
         # (pinned byte-identical to the reference by tests/); simhash is a
         # raw xxhash64 fingerprint (no DuckDB analog); lsh_ann is
@@ -923,6 +941,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(lab) AS component
             FROM reach GROUP BY node
+        """,
+        # survivors: every doc except non-representative component members
+        "near_dedup_keep": _JACCARD_CTE.format(norm_sql=_NORM_SQL).replace(
+            "WITH d AS", "WITH RECURSIVE d AS", 1
+        ) + """
+            , p AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
+            ),
+            e AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM p
+            ),
+            reach(node, lab) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT e.dst, reach.lab FROM reach JOIN e ON e.src = reach.node
+            ),
+            comp AS (SELECT node, min(lab) AS c FROM reach GROUP BY node)
+            SELECT doc_id FROM d
+            WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != c)
         """,
         # equal-content pairs restricted from the simhash candidates must
         # equal the exhaustive identical-normalized-text pair set
