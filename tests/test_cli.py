@@ -67,6 +67,16 @@ def test_smoke_chains_all_five_stages(tmp_path, spark):
     assert content.startswith("# b0") and "## Page " in content
 
 
+def test_extract_with_example_config(tmp_path, spark):
+    """The shipped example YAML must parse and drive a real extract run."""
+    out = str(tmp_path / "cfg_run")
+    rc = main(["extract", "--pages", "fixtures:1,4,2", "--out", out,
+               "--config", "/root/repo/configs/pipeline.example.yaml",
+               "--master", "local[4]", "--shuffle-partitions", "8"])
+    assert rc == 0
+    assert spark.read.parquet(f"{out}/corpus").count() == 4
+
+
 def test_dedup_subcommand_exact_and_near(tmp_path, spark):
     from pyspark.sql import functions as F
 
