@@ -9,6 +9,7 @@ a Spark window in operators/printed_page.py.
 from __future__ import annotations
 
 import re
+from pathlib import PurePosixPath
 from typing import Any
 
 ROMAN_CHARS = frozenset("ivxlcdm")
@@ -57,12 +58,15 @@ def is_plausible_roman(s: str, *, min_len: int, max_value: int) -> bool:
 
 def infer_scan_side(scan_relpath: str) -> str:
     """Filename-stem suffix '_l'/'_r' → page side hint
-    (reference ingest/page_numbers.py:57-63)."""
-    stem = scan_relpath.rsplit("/", 1)[-1].rsplit("\\", 1)[-1]
-    dot = stem.rfind(".")
-    if dot > 0:
-        stem = stem[:dot]
-    stem = stem.lower()
+    (reference ingest/page_numbers.py:57-63).
+
+    Uses pathlib stem semantics exactly: the reference calls
+    ``Path(scan_relpath).stem`` (PosixPath here), so trailing separators
+    (``'x_L/'`` → stem ``'x_L'``) and trailing dots (``'a_l.'`` → stem
+    ``'a_l.'``) must round-trip identically — a hand-rolled split diverges
+    on both (caught by the round-2 hypothesis property test).
+    """
+    stem = PurePosixPath(scan_relpath).stem.lower()
     if stem.endswith("_l"):
         return "left"
     if stem.endswith("_r"):
