@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 from typing import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 BUCKET_COL = "ck_bucket"
@@ -93,6 +94,25 @@ def run_resumable(
 
     out = transform(src.drop(BUCKET_COL))
     out = with_bucket(out, n_buckets, url_col)
+    # Rows whose natural bucket is NOT assigned this invocation (synthetic
+    # urls a transform may emit, e.g. extract_pages_with_lineage's
+    # lineage:// rows) must never land in a committed partition — dynamic
+    # partition overwrite would silently replace committed corpus data with
+    # a lineage-only partition on resume. Re-route them deterministically
+    # into an assigned bucket instead. Data rows keep their input urls, so
+    # their buckets are already in `assigned` and pass through unchanged.
+    # (`assigned` is a driver-side list either way; the literal array is
+    # bounded by n_buckets, the same bound completed_buckets already has.)
+    if len(assigned) < n_buckets:
+        assigned_arr = F.array(*[F.lit(b) for b in assigned])
+        fallback = F.element_at(
+            assigned_arr,
+            (F.pmod(F.xxhash64(F.col(url_col)), F.lit(len(assigned))) + 1).cast("int"),
+        )
+        out = out.withColumn(
+            BUCKET_COL,
+            F.when(F.col(BUCKET_COL).isin(assigned), F.col(BUCKET_COL)).otherwise(fallback),
+        )
 
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -118,12 +138,19 @@ def run_resumable(
                 .groupBy(BUCKET_COL)
                 .agg(F.count(F.lit(1)).alias("rows"))
             )
-        except Exception:
-            # every assigned bucket produced 0 rows: no parquet footers exist
-            # to infer a schema from — all-zero counts
-            written = spark.createDataFrame(
-                [], schema=f"{BUCKET_COL} int, rows long"
-            )
+        except AnalysisException as exc:
+            # fail-closed: ONLY the no-files case (every assigned bucket
+            # produced 0 rows — no parquet footers to infer a schema from)
+            # commits as all-zero counts. Any other readback failure (torn
+            # files, transient FS error) must abort the commit, or the
+            # manifest would mark torn buckets complete with rows=0.
+            cond = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+            if "PATH_NOT_FOUND" in cond or "UNABLE_TO_INFER_SCHEMA" in cond:
+                written = spark.createDataFrame(
+                    [], schema=f"{BUCKET_COL} int, rows long"
+                )
+            else:
+                raise
         manifest_rows = assigned_df.join(written, BUCKET_COL, "left").select(
             "run_id", BUCKET_COL, F.coalesce(F.col("rows"), F.lit(0)).alias("rows")
         )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import argparse
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 
 def main() -> None:
@@ -57,7 +57,12 @@ def main() -> None:
     print(f"committed {n_new} new buckets")
 
     corpus_raw, lineage = split_extract_lineage(read_output(spark, args.out))
-    lineage.write.mode("append").parquet(f"{args.out}/_lineage")
+    # idempotent lineage export: this run's rows overwrite a per-run_id
+    # subdirectory — a rerun/resume never re-appends rows already exported
+    # (append mode duplicated the full lineage history on every invocation)
+    lineage.filter(F.col("run_id") == args.run_id).write.mode("overwrite").parquet(
+        f"{args.out}/_lineage/run_id={args.run_id}"
+    )
     corpus = apply_printed_page_mode(corpus_raw, cfg)
     print(f"corpus rows: {corpus.count()}, lineage rows: {lineage.count()}")
     spark.stop()
