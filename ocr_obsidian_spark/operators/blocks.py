@@ -291,26 +291,41 @@ def classify_text_blocks(
     Fully relational: split → posexplode of token windows → per-block
     regexp-count features → content gate. Whole-stage codegen end to end;
     the only shuffle is whatever the consumer adds.
+
+    The tokenization is staged through explicit projections (``_toks``,
+    ``_btoks``): splicing ``split(norm)`` into the window lambda makes the
+    higher-order ``transform`` re-evaluate the full-document split once PER
+    block window — O(n_blocks x n_tokens) per doc (round-2 bench outlier).
+    A materialized attribute reference is computed once; CollapseProject
+    won't re-inline a non-cheap expression referenced more than once.
     """
     norm = F.lower(
         F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
     )
-    toks = F.split(norm, " ")
+    base = docs.select(F.col(id_col), F.split(norm, " ").alias("_toks"))
+    toks = F.col("_toks")
     n_blocks = F.ceil(F.size(toks) / F.lit(block_tokens)).cast("int")
     windows = F.transform(
         F.sequence(F.lit(0), F.greatest(n_blocks - 1, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i * block_tokens + 1, block_tokens), " "),
     )
-    exploded = docs.select(
-        F.col(id_col), F.posexplode(windows).alias("block_idx", "block_text")
-    ).filter(F.length("block_text") > 0)
+    exploded = (
+        base.select(F.col(id_col), F.posexplode(windows).alias("block_idx", "block_text"))
+        .filter(F.length("block_text") > 0)
+        .select(
+            F.col(id_col),
+            "block_idx",
+            "block_text",
+            F.split(F.col("block_text"), " ").alias("_btoks"),
+        )
+    )
 
-    n_tok = F.size(F.split(F.col("block_text"), " "))
+    n_tok = F.size(F.col("_btoks"))
     n_chars = F.length("block_text")
     n_alpha = F.length(F.regexp_replace("block_text", "[^a-z]", ""))
     n_link_tok = F.size(
         F.filter(
-            F.split(F.col("block_text"), " "),
+            F.col("_btoks"),
             lambda t: t.rlike("://") | t.startswith("www."),
         )
     )
