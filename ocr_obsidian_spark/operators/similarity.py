@@ -175,19 +175,82 @@ def lsh_topk(
     )
 
 
+# above this K the coarse quantizer switches from pure column expressions to
+# the Arrow-batched matmul: K expression trees + a depth-K when-chain choke
+# Catalyst codegen well before the K≈10^3-10^5 a 100 TB corpus needs, while
+# one (batch x K) numpy matmul is ~constant per row (same documented
+# exception as _table_signatures_udf — PLANS.md)
+IVF_EXPR_MAX_K = 64
+
+# bound the transient (rows x K) distance matrix to ~128 MB per chunk so a
+# large-K quantizer never OOMs an executor regardless of Arrow batch size
+_IVF_CHUNK_ELEMS = 1 << 24
+
+
+def _ivf_assign_udf(centroids: list[list[float]], n_probe: int):
+    """Arrow-vectorized coarse quantizer: per batch, one (n x K) matmul and
+    an argmin/argpartition — returns the ``n_probe`` nearest cell ids in
+    ascending distance order (n_probe=1 is plain assignment).
+
+    Uses the expanded form  argmin_c ||x-c||^2 = argmin_c (||c||^2 - 2 x.c)
+    (the ||x||^2 term is constant per row). Ties break on the lowest cell
+    id, matching both numpy argmin and the expression path's when-chain.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)  # (K, D)
+    cnorm = (cents * cents).sum(axis=1)  # (K,)
+    k_cells = cents.shape[0]
+    chunk = max(1, _IVF_CHUNK_ELEMS // max(1, k_cells))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType(), False))
+    def probe_cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.asarray(v.tolist(), dtype=np.float64)  # (n, D)
+        out = np.empty((mat.shape[0], n_probe), dtype=np.int32)
+        for lo in range(0, mat.shape[0], chunk):
+            d2 = mat[lo : lo + chunk] @ cents.T * -2.0 + cnorm  # (c, K)
+            if n_probe == 1:
+                out[lo : lo + chunk, 0] = np.argmin(d2, axis=1)
+            else:
+                part = np.argpartition(d2, n_probe - 1, axis=1)[:, :n_probe]
+                order = np.take_along_axis(d2, part, axis=1).argsort(
+                    axis=1, kind="stable"
+                )
+                out[lo : lo + chunk] = np.take_along_axis(part, order, axis=1)
+        return pd.Series(list(out), dtype=object)
+
+    return probe_cells
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
     *,
     vec_col: str = "embedding",
     out_col: str = "ivf_cell",
+    method: str = "auto",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
 
-    Centroids are driver-supplied literals (e.g. seeded k-means or a
-    deterministic sample); assignment is a pure column expression —
-    argmin over K squared distances, JVM-side, no shuffle.
+    Centroids are driver-supplied (e.g. seeded k-means or a deterministic
+    sample); assignment is map-only either way — no shuffle. ``method``:
+
+      * ``"expression"`` — argmin over K squared-distance column
+        expressions, JVM-side whole-stage codegen. Oracle-stable (the
+        driver's ivf_ann query pins this path) but degenerates above
+        K≈64: K literal expression trees + a depth-K when-chain.
+      * ``"vectorized"`` — Arrow-batched numpy matmul argmin
+        (``_ivf_assign_udf``), the 100 TB path for K up to ~10^5.
+      * ``"auto"`` (default) — expression for ``len(centroids) <=
+        IVF_EXPR_MAX_K``, vectorized above.
     """
+    if method not in ("auto", "expression", "vectorized"):
+        raise ValueError(f"unknown ivf_assign method: {method!r}")
+    if method == "vectorized" or (
+        method == "auto" and len(centroids) > IVF_EXPR_MAX_K
+    ):
+        cells = _ivf_assign_udf(centroids, 1)(F.col(vec_col))
+        return df.withColumn(out_col, F.element_at(cells, 1))
     dists = []
     for c in centroids:
         lit = F.array(*[F.lit(float(v)) for v in c])
@@ -252,7 +315,10 @@ def ivf_topk(
 
     Scale shape: assignment is map-only; the probe join is an equi-join on
     cell id, so candidate generation is linear and the per-query candidate
-    set is |corpus| * n_probe / K.
+    set is |corpus| * n_probe / K. Both the corpus quantizer and the
+    query-side probe ranking switch to the Arrow-batched matmul above
+    ``IVF_EXPR_MAX_K`` centroids (see ``ivf_assign``) — the expression
+    forest below is kept only for the oracle-stable small-K path.
     """
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
@@ -260,19 +326,26 @@ def ivf_topk(
     )
     # per-query probe cells: rank centroid distances, keep n_probe
     qd = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    probe_cols = []
-    for i, cent in enumerate(centroids):
-        lit = F.array(*[F.lit(float(v)) for v in cent])
-        d2 = F.aggregate(
-            F.zip_with(F.col("q_vec"), lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    if len(centroids) > IVF_EXPR_MAX_K:
+        probes = _ivf_assign_udf(centroids, min(n_probe, len(centroids)))(
+            F.col("q_vec")
         )
-        probe_cols.append(F.struct(d2.alias("d"), F.lit(i).alias("cell")))
-    probes = F.slice(F.array_sort(F.array(*probe_cols)), 1, n_probe)
+    else:
+        probe_cols = []
+        for i, cent in enumerate(centroids):
+            lit = F.array(*[F.lit(float(v)) for v in cent])
+            d2 = F.aggregate(
+                F.zip_with(F.col("q_vec"), lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            probe_cols.append(F.struct(d2.alias("d"), F.lit(i).alias("cell")))
+        probes = F.transform(
+            F.slice(F.array_sort(F.array(*probe_cols)), 1, n_probe),
+            lambda p: p["cell"],
+        )
     q = F.broadcast(
-        qd.select("query_id", "q_vec", F.explode(probes).alias("p"))
-        .select("query_id", "q_vec", F.col("p.cell").alias("cell"))
+        qd.select("query_id", "q_vec", F.explode(probes).alias("cell"))
     )
     scored = (
         c.join(q, "cell")

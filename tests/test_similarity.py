@@ -206,3 +206,76 @@ def test_ivf_topk_recall_and_cells(spark, emb, emb_np):
         total += 5
         hits += len(exact & by_q.get(qid, set()))
     assert hits / total > 0.3
+
+
+def test_ivf_assign_vectorized_k1024_matches_numpy(spark):
+    """The 100 TB quantizer path: at K=1024 ivf_assign must take the
+    Arrow-batched matmul (the K-expression-tree path chokes Catalyst) and
+    reproduce the driver-side numpy argmin exactly (round-2 verdict #3)."""
+    from ocr_obsidian_spark.operators.similarity import ivf_assign
+
+    rng = np.random.default_rng(42)
+    dim, n, k = 16, 2000, 1024
+    mat = rng.standard_normal((n, dim))
+    cents = rng.standard_normal((k, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        schema="vec_id long, embedding array<float>",
+    )
+    centroids = [[float(x) for x in c] for c in cents]
+    got = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in ivf_assign(df, centroids).collect()
+    }
+    # expected with the same expanded form the UDF uses (f32-cast inputs)
+    m32 = mat.astype(np.float32).astype(np.float64)
+    d2 = m32 @ cents.T * -2.0 + (cents * cents).sum(axis=1)
+    expected = np.argmin(d2, axis=1)
+    assert len(got) == n
+    assert all(got[i] == expected[i] for i in range(n))
+
+
+def test_ivf_assign_vectorized_agrees_with_expression_path(spark):
+    """Small-K cross-check: the two quantizer implementations agree on
+    well-separated data (the expression path is the oracle-pinned one)."""
+    from ocr_obsidian_spark.operators.similarity import ivf_assign
+
+    rng = np.random.default_rng(7)
+    dim, n, k = 8, 500, 8
+    mat = rng.standard_normal((n, dim))
+    cents = rng.standard_normal((k, dim)) * 3.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        schema="vec_id long, embedding array<float>",
+    )
+    centroids = [[float(x) for x in c] for c in cents]
+    a = {r["vec_id"]: r["ivf_cell"]
+         for r in ivf_assign(df, centroids, method="expression").collect()}
+    b = {r["vec_id"]: r["ivf_cell"]
+         for r in ivf_assign(df, centroids, method="vectorized").collect()}
+    assert a == b
+
+
+def test_ivf_topk_large_k_probe_path(spark):
+    """ivf_topk above IVF_EXPR_MAX_K uses the vectorized probe ranking;
+    with n_probe=K it must degrade to the exact brute-force answer."""
+    from ocr_obsidian_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(3)
+    dim, n, k_cells = 12, 300, 96
+    mat = rng.standard_normal((n, dim))
+    cents = rng.standard_normal((k_cells, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        schema="vec_id long, embedding array<float>",
+    )
+    centroids = [[float(x) for x in c] for c in cents]
+    queries = df.filter(F.col("vec_id") < 5)
+    got = ivf_topk(df, queries, centroids, k=3, n_probe=k_cells).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    m32 = mat.astype(np.float32).astype(np.float64)
+    ids = np.arange(n)
+    for qid in range(5):
+        assert by_q[qid] == _oracle_topk(ids, m32, qid, k=3)
