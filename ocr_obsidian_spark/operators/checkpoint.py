@@ -144,7 +144,10 @@ def run_resumable(
             # commits as all-zero counts. Any other readback failure (torn
             # files, transient FS error) must abort the commit, or the
             # manifest would mark torn buckets complete with rows=0.
-            cond = getattr(exc, "getErrorClass", lambda: None)() or str(exc)
+            getter = getattr(exc, "getCondition", None) or getattr(
+                exc, "getErrorClass", lambda: None
+            )
+            cond = getter() or str(exc)
             if "PATH_NOT_FOUND" in cond or "UNABLE_TO_INFER_SCHEMA" in cond:
                 written = spark.createDataFrame(
                     [], schema=f"{BUCKET_COL} int, rows long"
