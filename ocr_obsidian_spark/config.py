@@ -136,6 +136,13 @@ def pipeline_config_from_dict(raw: dict[str, Any]) -> PipelineConfig:
             kwargs[f.name] = section(**coerced)
         else:
             kwargs[f.name] = value
+    ks = kwargs["blocks"].kernel_size
+    if ks < 1 or ks % 2 == 0:
+        raise ConfigError(
+            f"blocks.kernel_size must be odd and >= 1 (got {ks}): the "
+            "separable morphology's symmetric radius matches the reference "
+            "center-anchored kernel for odd sizes only"
+        )
     return PipelineConfig(**kwargs)
 
 

@@ -50,7 +50,12 @@ def binary_dilate(mask: np.ndarray, k: int) -> np.ndarray:
 
     Out-of-image pixels contribute 0 (background) — cv2's dilate border
     convention for BORDER_CONSTANT with the morphological default value.
+    Only odd k is accepted: the symmetric radius k//2 matches cv2's
+    center-anchored kernel for odd sizes only — an even k would silently
+    diverge from the reference morphology instead of erroring.
     """
+    if k < 1 or k % 2 == 0:
+        raise ValueError(f"kernel size must be odd and >= 1, got {k}")
     r = k // 2
     h = mask.copy()
     for s in range(1, r + 1):

@@ -99,12 +99,21 @@ def minhash_signatures(
         if lens.sum() == 0:
             return pd.Series([[0] * num_hashes] * len(hs))
         flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in hs]).astype(np.uint64)
-        prod = flat[:, None] * mult[None, :] + add[None, :]  # (total, H) mod 2^64
         starts = np.zeros(len(hs), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
-        # rows with 0 shingles can't occur (word_shingles always yields >=1)
-        mins = np.minimum.reduceat(prod, starts, axis=0).astype(np.int64)
-        return pd.Series(mins.tolist())
+        # rows with 0 shingles can't occur (word_shingles always yields >=1).
+        # Iterate over hash-family slices so the (total_shingles x H)
+        # transient stays ~128 MB even when a heavy-tailed batch carries
+        # 10^6-shingle documents (identical results, bounded peak memory).
+        mins = np.empty((len(hs), num_hashes), dtype=np.uint64)
+        h_chunk = max(1, (1 << 24) // max(1, flat.shape[0]))
+        for lo in range(0, num_hashes, h_chunk):
+            prod = (
+                flat[:, None] * mult[None, lo : lo + h_chunk]
+                + add[None, lo : lo + h_chunk]
+            )  # (total, chunk) mod 2^64
+            mins[:, lo : lo + h_chunk] = np.minimum.reduceat(prod, starts, axis=0)
+        return pd.Series(mins.astype(np.int64).tolist())
 
     base = df.select(
         F.col(id_col),
@@ -236,6 +245,7 @@ def pair_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """(node, component) — connected components of the near-dup pair graph;
     ``component`` is the minimum node id reachable. This is the stage that
@@ -251,7 +261,29 @@ def pair_components(
     a fixed number of shuffles on (node, label) pairs only; convergence is
     checked with a count per round (driver-side loop, standard for
     iterative algorithms on Spark).
+
+    ``checkpoint`` selects the per-round lineage truncation: ``"local"``
+    (default) uses ``localCheckpoint`` — fastest, but the truncated blocks
+    live on executors, so an executor loss mid-iteration fails the job on a
+    real cluster; ``"reliable"`` writes each round to the session's
+    ``spark.sparkContext.setCheckpointDir`` (must be configured) and
+    survives executor loss — the at-scale setting.
     """
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"unknown checkpoint mode: {checkpoint!r}")
+    if checkpoint == "reliable":
+        sc = pairs.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint='reliable' requires "
+                "spark.sparkContext.setCheckpointDir(...) to be set"
+            )
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint == "reliable":
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -262,7 +294,7 @@ def pair_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    labels = labels.localCheckpoint(eager=True)  # truncate lineage per round
+    labels = _truncate(labels)  # truncate lineage per round
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -280,7 +312,7 @@ def pair_components(
             stepped.join(lab2, stepped.label == lab2._n2, "left")
             .select("node", F.least(F.col("label"), F.coalesce("_l2", "label")).alias("label"))
         )
-        doubled = doubled.localCheckpoint(eager=True)
+        doubled = _truncate(doubled)
         changed = (
             doubled.alias("n")
             .join(labels.alias("o"), "node")

@@ -367,3 +367,18 @@ def test_classify_text_blocks_features_and_gate(spark):
     assert not out[(3, 0)]["is_content"]
     # doc 4 (NULL): no non-empty block rows
     assert not any(k[0] == 4 for k in out)
+
+
+def test_even_kernel_rejected():
+    """Even kernel sizes silently diverge from the reference center-anchored
+    morphology — they must error, in the kernel and at config parse."""
+    from ocr_obsidian_spark.config import ConfigError, pipeline_config_from_dict
+
+    m = np.zeros((5, 5), dtype=bool)
+    with pytest.raises(ValueError, match="odd"):
+        binary_dilate(m, 4)
+    with pytest.raises(ValueError, match="odd"):
+        binary_erode(m, 0)
+    with pytest.raises(ConfigError, match="kernel_size"):
+        pipeline_config_from_dict({"blocks": {"kernel_size": 4}})
+    assert pipeline_config_from_dict({"blocks": {"kernel_size": 7}}).blocks.kernel_size == 7

@@ -172,3 +172,25 @@ def test_simhash_stability_and_near_dup(docs):
     ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     exact = [(a, b) for (a, b) in ham if a < 10 and b == a + 100000]
     assert len(exact) == 10 and all(ham[p] == 0 for p in exact)
+
+
+def test_pair_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint='reliable' (cluster setting: survives executor loss)
+    converges to the same components as the local default, and refuses to
+    run without a configured checkpoint dir."""
+    import pytest as _pytest
+
+    from ocr_obsidian_spark.operators.dedup import pair_components
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(200)], "id_a long, id_b long")
+    sc = spark.sparkContext
+    prev = sc.getCheckpointDir()
+    if prev is None:
+        with _pytest.raises(ValueError, match="setCheckpointDir"):
+            pair_components(df, checkpoint="reliable").collect()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    got = {r["node"]: r["component"]
+           for r in pair_components(df, checkpoint="reliable").collect()}
+    assert set(got.values()) == {0} and len(got) == 201
+    with _pytest.raises(ValueError, match="unknown checkpoint mode"):
+        pair_components(df, checkpoint="bogus")
