@@ -20,8 +20,11 @@ would funnel everything through few fat partitions. Instead:
   2. keep only the urls whose roman result must be nulled — sparse by
      construction (roman headers appearing after an arabic switch);
   3. null via a broadcast left join on url — the corpus itself never
-     shuffles. ``broadcast_nulls=False`` falls back to a regular join for
-     the adversarial corpus where the null set is huge.
+     shuffles. The default auto-sizes: a cheap narrow count of the null
+     set picks broadcast only below ``max_broadcast_nulls`` urls, so the
+     adversarial corpus (roman headers after an arabic switch everywhere)
+     degrades to a regular join instead of a driver OOM; pass
+     ``broadcast_nulls=True/False`` to override either way.
 """
 
 from __future__ import annotations
@@ -55,9 +58,23 @@ def apply_printed_page_mode(
     corpus: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     *,
-    broadcast_nulls: bool = True,
+    broadcast_nulls: bool | None = None,
+    max_broadcast_nulls: int = 2_000_000,
 ) -> DataFrame:
+    """``broadcast_nulls``: True forces the broadcast join, False forces a
+    regular join, None (default) counts the null set first — one extra job
+    over the five narrow columns — and broadcasts only when it holds fewer
+    than ``max_broadcast_nulls`` urls (~2M urls ≈ low hundreds of MB on the
+    driver; size to your driver memory)."""
     nulls = roman_null_set(corpus, cfg).withColumn("_null_roman", F.lit(True))
+    if broadcast_nulls is None:
+        from pyspark import StorageLevel
+
+        # persist so the sizing count and the join share one computation of
+        # the window (the set is sparse by construction; the adversarial
+        # huge case spills to disk rather than recomputing)
+        nulls = nulls.persist(StorageLevel.MEMORY_AND_DISK)
+        broadcast_nulls = nulls.count() <= max_broadcast_nulls
     if broadcast_nulls:
         nulls = F.broadcast(nulls)
     keep = F.col("_null_roman").isNull()

@@ -283,3 +283,43 @@ def test_salted_repartition_same_results(spark, pages_df):
     salted = {r["url"]: r["extracted_text"] for r in extract_pages(pages_df, cfg).collect()}
     plain = {r["url"]: r["extracted_text"] for r in extract_pages(pages_df).collect()}
     assert salted == plain
+
+
+def test_mode_switch_autosizes_null_broadcast(spark):
+    """Adversarial corpus — every book switches to arabic on page 1, romans
+    everywhere after — must not broadcast the (huge) null set at the
+    default: the auto path counts first and falls back to a regular join.
+    Values are identical on both paths (round-2 verdict #7)."""
+    from pyspark.sql import functions as F
+
+    from ocr_obsidian_spark.operators.printed_page import apply_printed_page_mode
+
+    rows = []
+    for b in range(20):
+        rows.append((f"b{b}/p0", f"b{b}", 0, 100, "100", "arabic"))
+        for p in range(1, 30):
+            rows.append((f"b{b}/p{p}", f"b{b}", p, p, "xiv", "roman"))
+    corpus = spark.createDataFrame(
+        rows,
+        "url string, book_id string, page_num int, printed_page int, "
+        "printed_page_text string, printed_page_kind string",
+    )
+
+    def null_count(df):
+        return df.filter(F.col("printed_page").isNull()).count()
+
+    def has_broadcast_hint(df):
+        # the explicit driver-side hint is what risks OOM on a truly huge
+        # set; AQE may still choose a runtime broadcast from actual sizes,
+        # which is exactly the safe behavior the auto path delegates to
+        return "strategy=broadcast" in df._jdf.queryExecution().optimizedPlan().toString()
+
+    auto = apply_printed_page_mode(corpus, max_broadcast_nulls=10)
+    assert not has_broadcast_hint(auto)
+    forced = apply_printed_page_mode(corpus, broadcast_nulls=True)
+    assert null_count(auto) == null_count(forced) == 20 * 29
+    # the triggering arabic pages themselves are untouched
+    assert auto.filter(F.col("printed_page_kind") == "arabic").count() == 20
+    # sparse null set still broadcasts at the default threshold
+    small = apply_printed_page_mode(corpus)
+    assert has_broadcast_hint(small) and has_broadcast_hint(forced)
