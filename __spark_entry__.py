@@ -481,11 +481,15 @@ def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """64-bit simhash fingerprints (xxhash64-based — no DuckDB analog for
-    the raw values; the hamming-0 behaviour is oracled by q_simhash_dups)."""
-    from ocr_obsidian_spark.operators.dedup import simhash64
+    """64-bit simhash fingerprints, FULLY ORACLED (round-2 verdict #8):
+    the md5-token-hash twin shares the exact sign-sum vote logic with the
+    xxhash64 production fingerprint (simhash64, pinned by the simhash_dups
+    oracle + tests) but is recomputable bit-for-bit in DuckDB. Fingerprint
+    rides as two unsigned 32-bit halves so neither engine touches an
+    unrepresentable unsigned 64-bit value."""
+    from ocr_obsidian_spark.operators.dedup import simhash64_md5
 
-    return simhash64(_t(spark, sf, "documents"))
+    return simhash64_md5(_t(spark, sf, "documents"))
 
 
 def q_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
@@ -635,19 +639,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "ivf_ann": q_ivf_ann,
         "simhash_dups": q_simhash_dups,
+        "simhash": q_simhash,
         "dedup_components": q_dedup_components,
         "near_dedup_keep": q_near_dedup_keep,
         # rows-only: extract_pipeline is the pandas-UDF extraction spine
-        # (pinned byte-identical to the reference by tests/); simhash is a
-        # raw xxhash64 fingerprint (no DuckDB analog); lsh_ann is
+        # (pinned byte-identical to the reference by tests/); lsh_ann is
         # approximate by design (recall pinned by tests/test_similarity.py)
         "extract_pipeline": q_extract_pipeline,
-        "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
     }
 
 
 _NORM_SQL = "lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))"
+
+
+def _simhash_md5_sql() -> str:
+    """DuckDB recomputation of q_simhash: per-token md5 → first 64 bits as
+    two 32-bit halves → 64 sign-sum votes → fingerprint halves. Generated
+    (not hand-written) so the 64 bit positions provably mirror the Spark
+    side's loop."""
+
+    def nib(k: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {k}, 1)) - 1)"
+
+    hi = " + ".join(f"{nib(k)} * {16 ** (8 - k)}" for k in range(1, 9))
+    lo = " + ".join(f"{nib(k)} * {16 ** (16 - k)}" for k in range(9, 17))
+    votes = ", ".join(
+        f"sum(CASE WHEN (({'hlo' if i < 32 else 'hhi'} >> {i % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS b_{i}"
+        for i in range(64)
+    )
+    sim_hi = " + ".join(
+        f"(CASE WHEN b_{i} > 0 THEN {1 << (i - 32)} ELSE 0 END)" for i in range(32, 64)
+    )
+    sim_lo = " + ".join(
+        f"(CASE WHEN b_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+        WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+        t AS (SELECT doc_id, md5(tok) AS h
+              FROM n, unnest(string_split(norm, ' ')) AS u(tok)),
+        p AS (SELECT doc_id, CAST({hi} AS BIGINT) AS hhi,
+                     CAST({lo} AS BIGINT) AS hlo FROM t),
+        v AS (SELECT doc_id, {votes} FROM p GROUP BY doc_id)
+        SELECT doc_id, CAST({sim_hi} AS BIGINT) AS sim_hi,
+               CAST({sim_lo} AS BIGINT) AS sim_lo
+        FROM v
+    """
 
 _DOCS_WITH_DUPS_SQL = """
     SELECT * FROM documents
@@ -975,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM n a JOIN n b ON a.norm = b.norm AND a.doc_id < b.doc_id
         """,
+        "simhash": _simhash_md5_sql(),
         "embedding_topk": """
             SELECT query_id, neighbor_id, rn AS rank
             FROM (

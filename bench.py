@@ -130,9 +130,15 @@ def main() -> None:
         "simhash", "jaccard_pairs", "embedding_topk", "embedding_near_dup",
         "lsh_ann", "ivf_ann",
     ]
+    # "simhash" keeps benching the xxhash64 PRODUCTION fingerprint
+    # (BASELINE.md definition); the driver contract's simhash query is its
+    # md5 oracle twin — same vote logic, slower hash, oracled instead
+    from ocr_obsidian_spark.operators.dedup import simhash64
+
+    special = {"simhash": lambda: simhash64(tbl("documents")).count()}
     for name in headliners:
-        fn = qs[name]
-        timed(name, lambda f=fn: f(spark, SF_DIR).count())
+        fn = special.get(name) or (lambda f=qs[name]: f(spark, SF_DIR).count())
+        timed(name, fn)
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(extract_docs / timings["extract"], 1) if timings["extract"] else 0.0

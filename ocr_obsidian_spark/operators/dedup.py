@@ -379,6 +379,51 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return agg.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def simhash64_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Oracle-reachable simhash twin: identical sign-sum vote logic to
+    ``simhash64``, but the per-token hash is the first 64 bits of ``md5``
+    (hex) — a function DuckDB shares bit-for-bit, unlike xxhash64 — and the
+    fingerprint is returned as two unsigned 32-bit halves ``(sim_hi,
+    sim_lo)`` so neither engine ever represents an unsigned 64-bit value.
+    This is what moves the simhash family from rows-only to a full
+    rows+schema+hash driver oracle; ``simhash64`` stays the production
+    fingerprint (one hash op per token vs md5's string round-trip).
+    """
+    h = F.md5(F.col("tok"))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("tok"),
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hhi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("hlo"),
+    )
+    bit_sums = []
+    for i in range(64):
+        src = F.col("hlo") if i < 32 else F.col("hhi")
+        s = i % 32
+        bit_sums.append(
+            F.sum(
+                F.when(F.shiftright(src, s).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b_{i}")
+        )
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    lo = None
+    hi = None
+    for i in range(64):
+        bit = F.when(F.col(f"b_{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i % 32)
+        if i < 32:
+            lo = term if lo is None else lo.bitwiseXOR(term)
+        else:
+            hi = term if hi is None else hi.bitwiseXOR(term)
+    return agg.select(F.col(id_col), hi.alias("sim_hi"), lo.alias("sim_lo"))
+
+
 def simhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",

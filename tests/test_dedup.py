@@ -194,3 +194,41 @@ def test_pair_components_reliable_checkpoint(spark, tmp_path):
     assert set(got.values()) == {0} and len(got) == 201
     with _pytest.raises(ValueError, match="unknown checkpoint mode"):
         pair_components(df, checkpoint="bogus")
+
+
+def test_simhash64_md5_matches_python_oracle(spark):
+    """The oracle-reachable md5 simhash twin reproduces a from-scratch
+    python implementation (token md5 -> 64 sign-sum votes -> 32-bit
+    fingerprint halves) — independent of both Spark and DuckDB."""
+    import hashlib
+    import re
+
+    from ocr_obsidian_spark.operators.dedup import simhash64_md5
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # identical
+        (2, "Multiple   spaces\tand CASE differences HERE"),
+        (3, None),
+        (4, "single"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: (r["sim_hi"], r["sim_lo"])
+           for r in simhash64_md5(df).collect()}
+
+    def oracle(text):
+        norm = re.sub(r"\s+", " ", (text or "")).strip().lower()
+        votes = [0] * 64
+        for tok in norm.split(" "):
+            hx = hashlib.md5(tok.encode()).hexdigest()
+            hhi, hlo = int(hx[:8], 16), int(hx[8:16], 16)
+            for i in range(64):
+                src, s = (hlo, i) if i < 32 else (hhi, i - 32)
+                votes[i] += 1 if (src >> s) & 1 else -1
+        lo = sum(1 << i for i in range(32) if votes[i] > 0)
+        hi = sum(1 << (i - 32) for i in range(32, 64) if votes[i] > 0)
+        return hi, lo
+
+    for doc_id, text in texts:
+        assert got[doc_id] == oracle(text), doc_id
+    assert got[0] == got[1]
