@@ -98,3 +98,29 @@ def test_block_classifier_prunes_scan(spark):
     assert "text" in read_schema
     for absent in ["lang", "source", "n_chars"]:
         assert absent not in read_schema, absent
+
+
+def test_block_classifier_no_duplicated_split_subtrees(spark):
+    """The staged _toks/_btoks projections must survive optimization: a
+    collapsed plan re-inlines split(norm) into the window-transform lambda,
+    re-evaluating the full-document split once per block (quadratic in doc
+    length — the round-2 bench outlier)."""
+    from ocr_obsidian_spark.operators.blocks import classify_text_blocks
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    opt = classify_text_blocks(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") <= 2, opt.count("split(")
+    assert opt.count("regexp_replace") <= 3
+
+
+def test_ivf_assign_large_k_uses_arrow_eval(spark):
+    """Above IVF_EXPR_MAX_K the quantizer must be one Arrow-batched python
+    eval, not a K-expression forest (which chokes codegen at real K)."""
+    from ocr_obsidian_spark.operators.similarity import IVF_EXPR_MAX_K, ivf_assign
+
+    df = spark.createDataFrame([(0, [0.0] * 4)], "vec_id long, embedding array<float>")
+    cents = [[float(i), 0.0, 0.0, 0.0] for i in range(IVF_EXPR_MAX_K + 1)]
+    p = ivf_assign(df, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in p
+    small = ivf_assign(df, cents[:4])._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in small
