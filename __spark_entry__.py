@@ -578,8 +578,10 @@ def q_near_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate NN via multi-table hyperplane LSH (seeded projections —
-    approximate by design, rows-only check)."""
+    """Approximate NN via multi-table hyperplane LSH. ORACLED since round
+    3: the seeded hyperplanes are deterministic, so DuckDB rebuilds the
+    same signatures/candidates/re-rank from plane literals (_lsh_ann_sql);
+    the output is integer-only so no float formatting enters the hash."""
     from ocr_obsidian_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf, "embeddings")
@@ -642,15 +644,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "dedup_components": q_dedup_components,
         "near_dedup_keep": q_near_dedup_keep,
-        # rows-only: extract_pipeline is the pandas-UDF extraction spine
-        # (pinned byte-identical to the reference by tests/); lsh_ann is
-        # approximate by design (recall pinned by tests/test_similarity.py)
-        "extract_pipeline": q_extract_pipeline,
         "lsh_ann": q_lsh_ann,
+        # rows-only: extract_pipeline is the pandas-UDF extraction spine
+        # (pinned byte-identical to the reference by tests/ — the ONE
+        # genuinely non-SQL-expressible query left)
+        "extract_pipeline": q_extract_pipeline,
     }
 
 
 _NORM_SQL = "lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))"
+
+
+def _lsh_ann_sql(dim: int = 64, n_bits: int = 6, n_tables: int = 8, seed: int = 7) -> str:
+    """DuckDB recomputation of q_lsh_ann: the seeded hyperplanes are
+    embedded as literals (same np.random.default_rng construction as
+    similarity._table_signatures_udf), signatures rebuilt per table via
+    list_inner_product sign bits, candidates joined on (table, sig), exact
+    cosine re-rank. Safe determinism margin measured on this corpus:
+    min |projection| 4.9e-6 vs cross-engine summation skew 2.9e-15, and the
+    output is integer-only (ids + rank), so float formatting never enters
+    the hash."""
+    import numpy as np
+
+    planes = [
+        np.random.default_rng(seed + 1000 * t).standard_normal((n_bits, dim))
+        for t in range(n_tables)
+    ]
+
+    def sig_expr(t: int) -> str:
+        bits = []
+        for b in range(n_bits):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[t][b]) + "]"
+            bits.append(
+                f"(CASE WHEN list_inner_product(v, {lit}) > 0 THEN {1 << b} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    sig_union = "\n            UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {sig_expr(t)} AS sig FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS ({sig_union}),
+        pairs AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.sig = c.sig
+                AND c.vec_id != q.vec_id
+            WHERE q.vec_id < 5
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qe.v, ce.v) DESC,
+                                neighbor_id) AS rn
+            FROM pairs
+            JOIN e qe ON qe.vec_id = query_id
+            JOIN e ce ON ce.vec_id = neighbor_id
+        )
+        SELECT query_id, neighbor_id, rn AS rank FROM ranked WHERE rn <= 5
+    """
 
 
 def _simhash_md5_sql() -> str:
@@ -1014,6 +1068,7 @@ def oracle_sql() -> dict[str, str]:
             FROM n a JOIN n b ON a.norm = b.norm AND a.doc_id < b.doc_id
         """,
         "simhash": _simhash_md5_sql(),
+        "lsh_ann": _lsh_ann_sql(),
         "embedding_topk": """
             SELECT query_id, neighbor_id, rn AS rank
             FROM (
