@@ -19,8 +19,21 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The sf test tables are single-row-group files, so the scan physically
+    # cannot split below 1-2 partitions. spread=True adds one content-
+    # neutral round-robin repartition of the narrow input (a few MB) for
+    # queries whose downstream is CPU-heavy map work (shingle hashing,
+    # simhash votes, per-block features) — measured ~2x on those; left OFF
+    # for cheap JVM-only queries where the extra exchange plus a 2-wave
+    # task schedule costs more than it buys. On a real corpus the scan
+    # already yields >= cores partitions and this branch never fires.
+    if spread:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -330,10 +343,10 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", F.md5(norm).alias("fingerprint_md5"))
 
 
-def _docs_with_dups(spark: SparkSession, sf: str) -> DataFrame:
+def _docs_with_dups(spark: SparkSession, sf: str, spread: bool = False) -> DataFrame:
     """documents ∪ exact copies of doc_id<25 shifted by +100000 — a known
     duplicate population for dedup checks."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=spread)
     dup = d.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
     )
@@ -360,7 +373,7 @@ def q_jaccard_exact(spark: SparkSession, sf: str) -> DataFrame:
     no LSH pre-filter — the exact-verification path, fully SQL-checkable)."""
     from ocr_obsidian_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs_with_dups(spark, sf), threshold=0.8).select(
+    return ngram_jaccard_pairs(_docs_with_dups(spark, sf, spread=True), threshold=0.8).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
@@ -398,7 +411,7 @@ def q_block_candidates(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_blocks.py — its strokes payload is not SQL-reachable."""
     from ocr_obsidian_spark.operators.blocks import classify_text_blocks
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return classify_text_blocks(d).select(
         "doc_id", "block_idx", "n_tokens", "n_chars",
         "alpha_ratio", "link_density",
@@ -413,7 +426,7 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
 
     from ocr_obsidian_spark.operators.multimodal import MEDIA_META, extract_media_features
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     media = d.select(
         F.col("doc_id").cast("string").alias("url"),
         F.encode("text", "UTF-8").alias("payload"),
@@ -440,7 +453,7 @@ def q_extract_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     from ocr_obsidian_spark.operators.printed_page import apply_printed_page_mode
     from ocr_obsidian_spark.sources.doc_pages import pages_from_documents
 
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents", spread=True)
     corpus = apply_printed_page_mode(extract_pages(pages_from_documents(docs)))
     return corpus.select(
         "url", "extracted_text", "char_count", "printed_page", "is_garbage"
@@ -477,7 +490,7 @@ def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     any regression in the signature/banding path breaks the hash match."""
     from ocr_obsidian_spark.operators.dedup import minhash_lsh_candidate_pairs
 
-    return minhash_lsh_candidate_pairs(_docs_with_dups(spark, sf))
+    return minhash_lsh_candidate_pairs(_docs_with_dups(spark, sf, spread=True))
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -489,7 +502,7 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     unrepresentable unsigned 64-bit value."""
     from ocr_obsidian_spark.operators.dedup import simhash64_md5
 
-    return simhash64_md5(_t(spark, sf, "documents"))
+    return simhash64_md5(_t(spark, sf, "documents", spread=True))
 
 
 def q_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
@@ -507,7 +520,7 @@ def q_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
         simhash_candidate_pairs,
     )
 
-    docs = _docs_with_dups(spark, sf)
+    docs = _docs_with_dups(spark, sf, spread=True)
     cands = simhash_candidate_pairs(docs).filter(F.col("hamming") == 0)
     keyed = docs.select("doc_id", F.sha2(normalized_text("text"), 256).alias("h"))
     ka = keyed.select(F.col("doc_id").alias("id_a"), F.col("h").alias("_ha"))
@@ -531,7 +544,7 @@ def q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    docs = _docs_with_dups(spark, sf)
+    docs = _docs_with_dups(spark, sf, spread=True)
     cands = minhash_lsh_candidate_pairs(docs)
     return ngram_jaccard_pairs(docs, threshold=0.8, candidate_pairs=cands).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -550,7 +563,7 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
         pair_components,
     )
 
-    docs = _docs_with_dups(spark, sf)
+    docs = _docs_with_dups(spark, sf, spread=True)
     pairs = ngram_jaccard_pairs(
         docs, threshold=0.8, candidate_pairs=minhash_lsh_candidate_pairs(docs)
     )
@@ -570,7 +583,7 @@ def q_near_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    docs = _docs_with_dups(spark, sf)
+    docs = _docs_with_dups(spark, sf, spread=True)
     pairs = ngram_jaccard_pairs(
         docs, threshold=0.8, candidate_pairs=minhash_lsh_candidate_pairs(docs)
     )

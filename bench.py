@@ -135,7 +135,11 @@ def main() -> None:
     # md5 oracle twin — same vote logic, slower hash, oracled instead
     from ocr_obsidian_spark.operators.dedup import simhash64
 
-    special = {"simhash": lambda: simhash64(tbl("documents")).count()}
+    special = {
+        "simhash": lambda: simhash64(
+            entrymod._t(spark, SF_DIR, "documents", spread=True)
+        ).count()
+    }
     for name in headliners:
         fn = special.get(name) or (lambda f=qs[name]: f(spark, SF_DIR).count())
         timed(name, fn)
