@@ -620,6 +620,86 @@ def q_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# web-corpus preparation (operators/webprep.py) — domain caps, deterministic
+# sampling, decontamination, PII scrub
+# ---------------------------------------------------------------------------
+
+def _docs_with_urls(spark: SparkSession, sf: str) -> DataFrame:
+    """documents + a deterministic synthetic url (source x doc_id%7 hosts) —
+    the same expression is rebuilt in the DuckDB oracles."""
+    d = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".test/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    return d.withColumn("url", url)
+
+
+_URL_SQL = (
+    "'https://' || source || '-' || CAST(doc_id % 7 AS VARCHAR) "
+    "|| '.test/doc/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def q_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document quota (web corpora are mega-host-dominated):
+    keep at most 2 docs per host, deterministically by url order (2 so
+    the cap genuinely binds on the ~3.6-doc hosts of the test corpus)."""
+    from ocr_obsidian_spark.operators.webprep import cap_per_domain, extract_domain
+
+    d = _docs_with_urls(spark, sf)
+    return cap_per_domain(d, 2).select(
+        "doc_id", extract_domain().alias("domain")
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic content-keyed 37% sample — reproducible across runs,
+    engines, and parallelism levels (md5 bucket, not rand())."""
+    from ocr_obsidian_spark.operators.webprep import hash_sample
+
+    return hash_sample(_docs_with_urls(spark, sf), 37).select("doc_id")
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set decontamination: drop documents sharing any word 8-shingle
+    with the benchmark set (here: doc_id < 10). Corpus explodes map-side
+    and semi-joins the broadcast benchmark shingles — never shuffles."""
+    from ocr_obsidian_spark.operators.webprep import decontaminate
+
+    d = _t(spark, sf, "documents", spread=True)
+    bench = d.filter(F.col("doc_id") < 10)
+    return decontaminate(d, bench).select("doc_id")
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over text with deterministically injected emails /
+    phones / IPs (the raw corpus has none); emails scrub before phones so
+    address digits never half-match."""
+    from ocr_obsidian_spark.operators.webprep import scrub_pii
+
+    d = _t(spark, sf, "documents", spread=True)
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    return scrub_pii(injected).select("doc_id", F.col("text").alias("scrubbed"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_bounds": q_agg_bounds,
@@ -658,6 +738,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "near_dedup_keep": q_near_dedup_keep,
         "lsh_ann": q_lsh_ann,
+        "domain_cap": q_domain_cap,
+        "hash_sample": q_hash_sample,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
         # rows-only: extract_pipeline is the pandas-UDF extraction spine
         # (pinned byte-identical to the reference by tests/ — the ONE
         # genuinely non-SQL-expressible query left)
@@ -1082,6 +1166,57 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _simhash_md5_sql(),
         "lsh_ann": _lsh_ann_sql(),
+        "domain_cap": f"""
+            WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+            d AS (SELECT doc_id, url,
+                         lower(regexp_extract(url,
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS domain
+                  FROM u),
+            r AS (SELECT doc_id, domain,
+                         row_number() OVER (PARTITION BY domain ORDER BY url) AS rn
+                  FROM d)
+            SELECT doc_id, domain FROM r WHERE rn <= 2
+        """,
+        "hash_sample": f"""
+            WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+            SELECT doc_id FROM u
+            WHERE ('0x' || substr(md5(url), 1, 8))::BIGINT % 100 < 37
+        """,
+        "decontaminate": f"""
+            WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+            tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM n),
+            sh AS (SELECT doc_id,
+                          array_to_string(list_slice(toks, i, i + 7), ' ') AS shingle
+                   FROM (SELECT doc_id, toks,
+                                unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i
+                         FROM tk)),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+            bad AS (SELECT DISTINCT doc_id FROM sh
+                    WHERE shingle IN (SELECT shingle FROM bench))
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "pii_scrub": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@mail.example.com or +1 555-123-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                           AS text
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(coalesce(text, ''),
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                           '<IP>', 'g'),
+                       '(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}',
+                       '<PHONE>', 'g') AS scrubbed
+            FROM inj
+        """,
         "embedding_topk": """
             SELECT query_id, neighbor_id, rn AS rank
             FROM (

@@ -1,0 +1,136 @@
+"""Web-corpus preparation operators: the selection stages a
+large-scale training-data pipeline runs between raw crawl and dedup —
+per-domain caps, deterministic sampling, benchmark decontamination, PII
+scrubbing. All pure DataFrame expressions (whole-stage codegen, no UDFs);
+every operator has a DuckDB-oracled driver query (__spark_entry__).
+
+Scale shapes:
+  * cap_per_domain — one hash shuffle on domain + a window rank; the rank
+    input is pre-reduced map-side by WindowGroupLimit (top-n per partition).
+  * hash_sample — map-only filter on a content hash; sampling is
+    reproducible across runs/engines (md5, not rand()).
+  * decontaminate — shingle explode + broadcast semi-join against the
+    (small) benchmark shingle set: the corpus shuffles nothing.
+  * scrub_pii — map-only regexp_replace chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# host part of an url — the SAME regexp runs in DuckDB (RE2) and Spark
+# (Java regex): alternation/classes only, no lookaround
+DOMAIN_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+
+# deliberately simple, cross-engine-safe patterns (no backrefs/lookaround);
+# the point is the scrub PLUMBING — swap in heavier patterns per deployment
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "(?:\\+?[0-9]{1,3}[-. ]?)?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def extract_domain(url_col: str = "url") -> F.Column:
+    """Lowercased host of an url; '' when the url has no scheme://host."""
+    return F.lower(F.regexp_extract(F.col(url_col), DOMAIN_RE, 1))
+
+
+def cap_per_domain(
+    df: DataFrame,
+    max_docs: int,
+    *,
+    url_col: str = "url",
+    domain_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``max_docs`` documents per domain, deterministically
+    (url order — rerunning or re-partitioning never changes the keep set).
+
+    The web analog of per-source quotas: a handful of mega-hosts otherwise
+    dominate a crawl-derived corpus. One shuffle on the domain key; Spark
+    inserts a map-side WindowGroupLimit so only ~max_docs rows per domain
+    per partition reach the exchange.
+    """
+    dom = F.col(domain_col) if domain_col else extract_domain(url_col)
+    w = Window.partitionBy(dom.alias("_dom")).orderBy(url_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(max_docs))
+        .drop("_rn")
+    )
+
+
+def hash_sample(
+    df: DataFrame, keep_pct: int, *, key_col: str = "url", buckets: int = 100
+) -> DataFrame:
+    """Deterministic content-keyed sampling: keep rows whose md5(key) falls
+    in the first ``keep_pct`` of ``buckets`` hash buckets.
+
+    Unlike ``df.sample``, the decision is a pure function of the key — the
+    same document is kept in every run, on every engine, at any
+    parallelism (reproducible corpus recipes; md5 because DuckDB shares it
+    bit-for-bit, see the driver oracle)."""
+    bucket = F.conv(F.substring(F.md5(F.col(key_col)), 1, 8), 16, 10).cast(
+        "long"
+    ) % buckets
+    return df.filter(bucket < int(keep_pct))
+
+
+def benchmark_shingles(
+    benchmark: DataFrame, *, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Distinct word k-shingles of the benchmark/eval set (the
+    contamination keys). Small by construction — broadcast it."""
+    from .dedup import word_shingles
+
+    return (
+        benchmark.select(F.explode(word_shingles(text_col, k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Drop documents sharing ANY word k-shingle with the benchmark set —
+    eval-set decontamination, the standard guard against test-set leakage
+    into training data.
+
+    The corpus side explodes to (id, shingle) and semi-joins the broadcast
+    benchmark shingle set; the corpus itself never shuffles. k=8 is the
+    usual contamination n-gram size (long enough that natural collisions
+    are rare, short enough to catch partial copies)."""
+    from .dedup import word_shingles
+
+    bench = F.broadcast(benchmark_shingles(benchmark, text_col=text_col, k=k))
+    doc_shingles = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
+    )
+    contaminated = (
+        doc_shingles.join(bench, "shingle", "left_semi").select(id_col).distinct()
+    )
+    return docs.join(contaminated, id_col, "left_anti")
+
+
+def scrub_pii(
+    df: DataFrame, *, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Redact emails / phone numbers / IPv4s with typed placeholder tokens.
+
+    Map-only regexp_replace chain (order matters: emails first so the
+    phone pattern never eats an address's digits). Patterns are
+    cross-engine-safe so the driver oracle replays them in DuckDB."""
+    out = out_col or text_col
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), EMAIL_RE, "<EMAIL>"),
+            IPV4_RE,
+            "<IP>",
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.withColumn(out, scrubbed)

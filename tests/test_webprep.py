@@ -1,0 +1,100 @@
+"""Web-corpus preparation operators (operators/webprep.py) vs independent
+python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_obsidian_spark.operators.webprep import (
+    cap_per_domain,
+    decontaminate,
+    extract_domain,
+    hash_sample,
+    scrub_pii,
+)
+
+
+@pytest.fixture(scope="module")
+def urls_df(spark):
+    rows = [
+        (i, f"https://host-{i % 3}.example.org/p/{i}", f"text {i}")
+        for i in range(30)
+    ] + [
+        (100, "ftp://Files.Example.NET/x", "ftp doc"),
+        (101, "no-scheme-here", "schemeless"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+def test_extract_domain(spark, urls_df):
+    got = {r["doc_id"]: r["d"] for r in urls_df.select("doc_id", extract_domain().alias("d")).collect()}
+    assert got[0] == "host-0.example.org"
+    assert got[100] == "files.example.net"  # lowercased
+    assert got[101] == ""  # no scheme -> empty
+
+
+def test_cap_per_domain_deterministic(spark, urls_df):
+    kept = cap_per_domain(urls_df, 4).collect()
+    by_dom: dict[str, list[str]] = {}
+    for r in kept:
+        m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", r["url"])
+        by_dom.setdefault((m.group(1).lower() if m else ""), []).append(r["url"])
+    for dom, urls in by_dom.items():
+        assert len(urls) <= 4, dom
+    # deterministic keep set: first 4 urls in sort order per domain
+    for d in range(3):
+        expect = sorted(f"https://host-{d}.example.org/p/{i}" for i in range(30) if i % 3 == d)[:4]
+        assert sorted(by_dom[f"host-{d}.example.org"]) == expect
+    # re-running / re-partitioning never changes the keep set
+    again = {r["doc_id"] for r in cap_per_domain(urls_df.repartition(7), 4).collect()}
+    assert again == {r["doc_id"] for r in kept}
+
+
+def test_hash_sample_matches_python_md5(spark, urls_df):
+    got = {r["doc_id"] for r in hash_sample(urls_df, 40).collect()}
+    expect = set()
+    for row in urls_df.collect():
+        bucket = int(hashlib.md5(row["url"].encode()).hexdigest()[:8], 16) % 100
+        if bucket < 40:
+            expect.add(row["doc_id"])
+    assert got == expect
+    assert 0 < len(got) < urls_df.count()  # neither empty nor everything
+    # supersets nest: a 10% sample is contained in the 40% sample
+    small = {r["doc_id"] for r in hash_sample(urls_df, 10).collect()}
+    assert small <= got
+
+
+def test_decontaminate_drops_shingle_overlap(spark):
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [
+        (0, bench_text),  # the benchmark doc itself
+        (1, "prefix words then " + bench_text + " trailing tail"),  # contains 8-gram
+        (2, "alpha bravo charlie delta echo foxtrot golf"),  # only 7 shared words
+        (3, "completely unrelated text about something else entirely here now"),
+        (4, None),  # NULL text must survive, not crash
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 0)
+    kept = {r["doc_id"] for r in decontaminate(docs, bench).collect()}
+    assert kept == {2, 3, 4}
+
+
+def test_scrub_pii(spark):
+    rows = [
+        (0, "mail me at First.Last+tag@sub.example.co.uk please"),
+        (1, "server 192.168.100.2 answered"),
+        (2, "call +44 207 946 0958 or (555) 123-4567"),
+        (3, "no pii here"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in scrub_pii(df).collect()}
+    assert got[0] == "mail me at <EMAIL> please"
+    assert got[1] == "server <IP> answered"
+    assert "<PHONE>" in got[2] and "0958" not in got[2] and "4567" not in got[2]
+    assert got[3] == "no pii here"
+    assert got[4] == ""  # NULL coalesces, never crashes
