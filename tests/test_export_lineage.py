@@ -160,3 +160,52 @@ def test_frame_crop_candidates_dropped(spark, corpus):
     out = {r["url"]: len(r["candidates"]) for r in filter_block_candidates(t).collect()}
     assert out["u1"] == 0
     assert out["u2"] == 1
+
+
+def test_run_extract_job_script_rerun_idempotent(spark, pages_df, tmp_path, monkeypatch):
+    """The cluster entry script end-to-end, twice with the same run_id: the
+    second invocation must commit 0 new buckets, keep the corpus intact,
+    and NOT duplicate lineage rows in _lineage (round-2 ADVICE: the old
+    append-mode export re-appended the full history every rerun)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import run_extract_job
+
+    inp = str(tmp_path / "pages_in")
+    out = str(tmp_path / "job_out")
+    pages_df.write.parquet(inp)
+
+    def run_once():
+        monkeypatch.setattr(
+            sys, "argv",
+            ["run_extract_job.py", "--input", inp, "--out", out,
+             "--run-id", "rX", "--buckets", "8"],
+        )
+        # reuse the session-scoped spark instead of building a new one
+        monkeypatch.setattr(
+            run_extract_job.SparkSession, "builder", _FakeBuilder(spark)
+        )
+        run_extract_job.main()
+
+    class _FakeBuilder:
+        def __init__(self, s):
+            self._s = s
+        def appName(self, _):
+            return self
+        def getOrCreate(self):
+            return self._s
+
+    stopped = {"n": 0}
+    monkeypatch.setattr(spark, "stop", lambda: stopped.__setitem__("n", stopped["n"] + 1))
+    run_once()
+    lineage1 = spark.read.parquet(f"{out}/_lineage/run_id=rX").collect()
+    run_once()
+    lineage2 = spark.read.parquet(f"{out}/_lineage/run_id=rX").collect()
+    assert len(lineage2) == len(lineage1)  # no duplication on rerun
+    from ocr_obsidian_spark.operators.checkpoint import read_output
+    from ocr_obsidian_spark.operators.extract import split_extract_lineage
+
+    corpus, _ = split_extract_lineage(read_output(spark, out))
+    assert corpus.count() == pages_df.count()
+    assert stopped["n"] == 2
