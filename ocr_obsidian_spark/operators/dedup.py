@@ -75,6 +75,12 @@ def word_shingles(text_col: str = "text", k: int = 3) -> F.Column:
     )).otherwise(F.array(F.array_join(toks, " ")))
 
 
+# bounds the (total_shingles x hash_chunk) transient inside family_min to
+# ~128 MB per Arrow batch (heavy-tailed corpora carry 10^6-shingle docs);
+# module-level so tests can force the chunked path at small scale
+_MINHASH_CHUNK_ELEMS = 1 << 24
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 64
 ) -> DataFrame:
@@ -106,7 +112,7 @@ def minhash_signatures(
         # transient stays ~128 MB even when a heavy-tailed batch carries
         # 10^6-shingle documents (identical results, bounded peak memory).
         mins = np.empty((len(hs), num_hashes), dtype=np.uint64)
-        h_chunk = max(1, (1 << 24) // max(1, flat.shape[0]))
+        h_chunk = max(1, _MINHASH_CHUNK_ELEMS // max(1, flat.shape[0]))
         for lo in range(0, num_hashes, h_chunk):
             prod = (
                 flat[:, None] * mult[None, lo : lo + h_chunk]

@@ -232,3 +232,16 @@ def test_simhash64_md5_matches_python_oracle(spark):
     for doc_id, text in texts:
         assert got[doc_id] == oracle(text), doc_id
     assert got[0] == got[1]
+
+
+def test_family_min_chunked_path_identical(spark, monkeypatch):
+    """Force the hash-family chunking (normally only heavy-tailed batches
+    trip it) and require bit-identical signatures."""
+    from ocr_obsidian_spark.operators import dedup as D
+
+    rows = [(i, f"some repeated words plus unique token{i} tail {i%5}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r["doc_id"]: list(r["minhash"]) for r in D.minhash_signatures(df).collect()}
+    monkeypatch.setattr(D, "_MINHASH_CHUNK_ELEMS", 8)  # h_chunk = 1
+    chunked = {r["doc_id"]: list(r["minhash"]) for r in D.minhash_signatures(df).collect()}
+    assert chunked == base

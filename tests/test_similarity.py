@@ -279,3 +279,23 @@ def test_ivf_topk_large_k_probe_path(spark):
     ids = np.arange(n)
     for qid in range(5):
         assert by_q[qid] == _oracle_topk(ids, m32, qid, k=3)
+
+
+def test_ivf_vectorized_row_chunking_identical(spark, monkeypatch):
+    """Force the row-chunked distance loop (normally only huge batches trip
+    it) and require identical assignments."""
+    from ocr_obsidian_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((50, 8))
+    cents = [[float(x) for x in c] for c in rng.standard_normal((6, 8))]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(50)],
+        schema="vec_id long, embedding array<float>",
+    )
+    base = {r["vec_id"]: r["ivf_cell"]
+            for r in S.ivf_assign(df, cents, method="vectorized").collect()}
+    monkeypatch.setattr(S, "_IVF_CHUNK_ELEMS", 12)  # chunk = 2 rows
+    chunked = {r["vec_id"]: r["ivf_cell"]
+               for r in S.ivf_assign(df, cents, method="vectorized").collect()}
+    assert chunked == base
