@@ -261,6 +261,43 @@ def run_dedup(args) -> int:
     return 0
 
 
+def run_webprep(args) -> int:
+    """documents table → prepared table: optional per-domain cap →
+    deterministic hash sample → decontamination vs a benchmark table →
+    PII scrub (operators/webprep.py, all map-only except the domain-cap
+    window)."""
+    from .operators.webprep import (
+        cap_per_domain,
+        decontaminate,
+        hash_sample,
+        scrub_pii,
+    )
+    from .sources.io import write_table
+
+    spark = _session(args)
+    _check_out(args.out, args.overwrite)
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+    out = docs
+    if args.cap_per_domain and args.url_col in docs.columns:
+        out = cap_per_domain(out, args.cap_per_domain, url_col=args.url_col)
+    if args.sample_pct is not None:
+        key = args.url_col if args.url_col in docs.columns else args.id_col
+        out = hash_sample(out, args.sample_pct, key_col=key)
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        out = decontaminate(
+            out, bench, text_col=args.text_col, id_col=args.id_col,
+            k=args.shingle_k,
+        )
+    if args.scrub_pii:
+        out = scrub_pii(out, text_col=args.text_col)
+    write_table(out, args.out, mode="overwrite" if args.overwrite == "always" else "error")
+    n_out = spark.read.parquet(args.out).count()
+    print(f"webprep: {n_in} → {n_out} docs at {args.out}")
+    return 0
+
+
 def run_smoke(args) -> int:
     """Chain extract → detect-blocks → make-spans → emit-notes →
     export-text on fixtures from a clean directory (dev_smoke_test analog)."""
@@ -361,6 +398,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.set_defaults(handler=run_dedup)
+
+    p = sub.add_parser(
+        "webprep",
+        help="documents table → capped/sampled/decontaminated/scrubbed table.",
+    )
+    _add_common(p)
+    p.add_argument("--docs", required=True, help="input documents parquet")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--url-col", default="url")
+    p.add_argument("--cap-per-domain", type=int, default=0,
+                   help="max docs per domain (0 = off; needs a url column)")
+    p.add_argument("--sample-pct", type=int, default=None,
+                   help="deterministic md5-bucket sample, percent kept")
+    p.add_argument("--benchmark", default=None,
+                   help="benchmark/eval parquet to decontaminate against")
+    p.add_argument("--shingle-k", type=int, default=8)
+    p.add_argument("--scrub-pii", action="store_true")
+    p.set_defaults(handler=run_webprep)
 
     p = sub.add_parser("smoke", help="chain all five stages on fixtures.")
     _add_common(p)

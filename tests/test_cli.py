@@ -107,3 +107,37 @@ def test_module_entrypoint_help_runs_without_spark():
     assert out.returncode == 0
     for cmd in ["extract", "detect-blocks", "make-spans", "emit-notes", "export-text", "smoke"]:
         assert cmd in out.stdout
+
+
+def test_webprep_subcommand_full_chain(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    # synthetic urls: 3 hosts; text gets a deterministic email injected
+    src_df = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" mail me: a.b@x-test.org ok")).alias("text"),
+        "lang", "source", "n_chars",
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".test/d/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    src = str(tmp_path / "wp_docs")
+    src_df.write.parquet(src)
+    bench = str(tmp_path / "wp_bench")
+    src_df.filter(F.col("doc_id") < 3).write.parquet(bench)
+    out = str(tmp_path / "wp_out")
+    assert main([
+        "webprep", "--docs", src, "--out", out,
+        "--cap-per-domain", "10", "--benchmark", bench, "--scrub-pii",
+    ]) == 0
+    got = spark.read.parquet(out)
+    n = got.count()
+    assert 0 < n <= 30  # 3 hosts x cap 10
+    # benchmark-overlapping docs are gone; PII scrubbed everywhere
+    assert got.filter(F.col("doc_id") < 3).count() == 0
+    assert got.filter(F.col("text").contains("a.b@x-test.org")).count() == 0
+    assert got.filter(F.col("text").contains("<EMAIL>")).count() == n
+    # overwrite refusal: the reference exit-code contract applies here too
+    assert main(["webprep", "--docs", src, "--out", out]) == 4
