@@ -184,8 +184,13 @@ def detect_printed_page(
     min_confidence = float(min_conf)
     cands: list[dict[str, Any]] = []
 
+    # inlined _center_norm y-path (identical float ops: /2.0 then /h, then
+    # *page_height) — the x half and the call/tuple overhead are dead
+    # weight for this every-word band filter
+    _h = max(1, int(page_height))
     for w in words:
-        _, y_norm = _center_norm(w["bbox"], page_width, page_height)
+        bbox = w["bbox"]
+        y_norm = (bbox[1] + bbox[3]) / 2.0 / _h
         if (y_norm * page_height) > band_limit:
             continue
         cands.append(

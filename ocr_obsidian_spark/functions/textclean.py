@@ -103,10 +103,18 @@ def clean_line(line: dict[str, Any]) -> str:
     """
     kept: list[str] = []
     for raw, conf in line_tokens(line):
-        token = normalize_spaces(raw).strip("|\\()")
+        # byte-exact fast path: an alphanumeric token contains no
+        # whitespace and none of the strip chars, so both ops are identity
+        if raw.isalnum():
+            token = raw
+        else:
+            token = normalize_spaces(raw).strip("|\\()")
         if token and not token_is_junk(token, conf):
             kept.append(token)
 
+    # the re-normalization after the join is LOAD-BEARING: stripping
+    # ``|\\()`` can expose whitespace at token edges ('0C \\' → '0C ') —
+    # hypothesis found the counterexample when this was "optimized" away
     text = normalize_spaces(" ".join(t for t in kept if t != "|"))
     if not text:
         return ""
