@@ -55,9 +55,15 @@ def _session(args):
 
 
 def _load_pages(spark, pages_arg: str):
-    """``fixtures[:books,pages,seed]`` → synthesized corpus; else parquet."""
+    """``fixtures[:books,pages,seed]`` → synthesized corpus;
+    ``warc:<path>`` → Common-Crawl-style archives (sources/warc.py);
+    else parquet."""
     from .schemas import PAGES
 
+    if pages_arg.startswith("warc:"):
+        from .sources.warc import read_warc_pages
+
+        return read_warc_pages(spark, pages_arg[len("warc:"):])
     if pages_arg.startswith("fixtures"):
         from .sources.fixtures import fixture_page_rows
 
