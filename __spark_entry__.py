@@ -700,6 +700,27 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     return scrub_pii(injected).select("doc_id", F.col("text").alias("scrubbed"))
 
 
+def q_unicode_nfc(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC canonicalization with deterministically injected
+    DECOMPOSED sequences (combining acute, combining ring) — NFC must
+    compose them; the oracle replays with DuckDB nfc_normalize."""
+    from ocr_obsidian_spark.operators.webprep import normalize_unicode
+
+    d = _t(spark, sf, "documents", spread=True)
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" café suffix Å end")
+        ).alias("text"),
+    )
+    out = normalize_unicode(injected)
+    return out.select(
+        "doc_id",
+        F.col("text").alias("norm_text"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_bounds": q_agg_bounds,
@@ -742,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
+        "unicode_nfc": q_unicode_nfc,
         # rows-only: extract_pipeline is the pandas-UDF extraction spine
         # (pinned byte-identical to the reference by tests/ — the ONE
         # genuinely non-SQL-expressible query left)
@@ -1195,6 +1217,16 @@ def oracle_sql() -> dict[str, str]:
                     WHERE shingle IN (SELECT shingle FROM bench))
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "unicode_nfc": """
+            WITH inj AS (
+                SELECT doc_id,
+                       text || ' cafe' || chr(769) || ' suffix A' || chr(778)
+                            || ' end' AS text
+                FROM documents)
+            SELECT doc_id, nfc_normalize(text) AS norm_text,
+                   CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars
+            FROM inj
         """,
         "pii_scrub": r"""
             WITH inj AS (

@@ -130,7 +130,7 @@ def main() -> None:
         "simhash", "jaccard_pairs", "embedding_topk", "embedding_near_dup",
         "lsh_ann", "ivf_ann",
         # web-corpus preparation suite (round 3)
-        "domain_cap", "hash_sample", "decontaminate", "pii_scrub",
+        "domain_cap", "hash_sample", "decontaminate", "pii_scrub", "unicode_nfc",
     ]
     # "simhash" keeps benching the xxhash64 PRODUCTION fingerprint
     # (BASELINE.md definition); the driver contract's simhash query is its

@@ -16,7 +16,10 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 # host part of an url — the SAME regexp runs in DuckDB (RE2) and Spark
 # (Java regex): alternation/classes only, no lookaround
@@ -113,6 +116,33 @@ def decontaminate(
         doc_shingles.join(bench, "shingle", "left_semi").select(id_col).distinct()
     )
     return docs.join(contaminated, id_col, "left_anti")
+
+
+def normalize_unicode(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC by default — the standard
+    training-corpus canonicalization so byte-level dedup/hashing treats
+    composed and decomposed sequences as one document).
+
+    Arrow-batched pandas UDF: Spark has no built-in Unicode-normalization
+    expression, so this is the documented vectorized-UDF exception; the
+    driver oracle replays it with DuckDB's ``nfc_normalize``. NULLs pass
+    through."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    @F.pandas_udf(T.StringType())
+    def norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    return df.withColumn(out_col or text_col, norm(F.col(text_col)))
 
 
 def scrub_pii(

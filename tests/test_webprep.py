@@ -98,3 +98,23 @@ def test_scrub_pii(spark):
     assert "<PHONE>" in got[2] and "0958" not in got[2] and "4567" not in got[2]
     assert got[3] == "no pii here"
     assert got[4] == ""  # NULL coalesces, never crashes
+
+
+def test_normalize_unicode_nfc(spark):
+    import unicodedata
+
+    from ocr_obsidian_spark.operators.webprep import normalize_unicode
+
+    decomposed = "café Å ﬁn"
+    rows = [(0, decomposed), (1, "plain ascii"), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in normalize_unicode(df).collect()}
+    assert got[0] == unicodedata.normalize("NFC", decomposed)
+    assert got[0].startswith("café Å")     # composed
+    assert "ﬁ" in got[0]                        # NFC keeps the ligature
+    assert got[1] == "plain ascii" and got[2] is None
+    nfkc = {r["doc_id"]: r["text"]
+            for r in normalize_unicode(df, form="NFKC").collect()}
+    assert "fin" in nfkc[0] and "ﬁ" not in nfkc[0]  # NFKC folds it
+    with pytest.raises(ValueError):
+        normalize_unicode(df, form="NFX")
