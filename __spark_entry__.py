@@ -700,6 +700,18 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     return scrub_pii(injected).select("doc_id", F.col("text").alias("scrubbed"))
 
 
+def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters (dup-line fraction, top-bigram
+    share), computed map-only per row with array folds; the oracle
+    recomputes the bigram mode with a per-doc group-by."""
+    from ocr_obsidian_spark.operators.textstats import with_repetition_stats
+
+    d = _t(spark, sf, "documents", spread=True)
+    return with_repetition_stats(d).select(
+        "doc_id", "n_lines", "dup_line_frac", "n_bigrams", "top_bigram_frac"
+    )
+
+
 def q_unicode_nfc(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC canonicalization with deterministically injected
     DECOMPOSED sequences (combining acute, combining ring) — NFC must
@@ -764,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "unicode_nfc": q_unicode_nfc,
+        "repetition_stats": q_repetition_stats,
         # rows-only: extract_pipeline is the pandas-UDF extraction spine
         # (pinned byte-identical to the reference by tests/ — the ONE
         # genuinely non-SQL-expressible query left)
@@ -1217,6 +1230,33 @@ def oracle_sql() -> dict[str, str]:
                     WHERE shingle IN (SELECT shingle FROM bench))
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "repetition_stats": f"""
+            WITH n AS (SELECT doc_id, coalesce(text, '') AS raw,
+                              {_NORM_SQL} AS norm FROM documents),
+            l AS (SELECT doc_id,
+                         string_split(raw, chr(10)) AS lines,
+                         string_split(norm, ' ') AS toks
+                  FROM n),
+            g AS (SELECT doc_id,
+                         array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+                  FROM (SELECT doc_id, toks,
+                               unnest(generate_series(1, len(toks) - 1)) AS i
+                        FROM l WHERE len(toks) >= 2)),
+            t AS (SELECT doc_id, max(cnt) AS top
+                  FROM (SELECT doc_id, gram, count(*) AS cnt
+                        FROM g GROUP BY doc_id, gram)
+                  GROUP BY doc_id)
+            SELECT l.doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   round(CASE WHEN len(lines) <= 0 THEN 0.0
+                         ELSE 1.0 - len(list_distinct(lines))::DOUBLE
+                              / len(lines) END, 6) AS dup_line_frac,
+                   CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+                   round(CASE WHEN len(toks) - 1 <= 0 THEN 0.0
+                         ELSE coalesce(top, 0)::DOUBLE / (len(toks) - 1)
+                         END, 6) AS top_bigram_frac
+            FROM l LEFT JOIN t ON l.doc_id = t.doc_id
         """,
         "unicode_nfc": """
             WITH inj AS (

@@ -109,3 +109,62 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint_md5", F.md5(norm)).withColumn(
         "fingerprint64", F.xxhash64(norm)
     )
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals — the standard boilerplate/spam
+    filters a training-data pipeline applies before dedup:
+
+      * ``dup_line_frac`` — fraction of non-unique lines (1 - distinct/total);
+      * ``top_bigram_frac`` — share of the most frequent word 2-gram among
+        all 2-grams (repeated-phrase spam);
+      * ``n_lines`` / ``n_bigrams`` counts.
+
+    Computed PER ROW with array expressions only (sorted-bigram max-run
+    fold via ``aggregate``): map-only, zero shuffles — the right 100 TB
+    shape for per-document metrics (the groupBy-per-ngram alternative
+    shuffles the whole token stream).
+    """
+    # staged projections: HOF lambdas re-evaluate captured subtrees per
+    # element (round-3 CSE lesson — see classify_text_blocks)
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    base = df.withColumn("_lines", lines).withColumn(
+        "_toks", F.split(_norm(text_col), " ")
+    )
+    n_lines = F.size(F.col("_lines"))
+    dup_line_frac = F.when(n_lines <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(F.col("_lines"))).cast("double") / n_lines
+    )
+    n_tok = F.size(F.col("_toks"))
+    n_bigrams = F.greatest(n_tok - 1, F.lit(0))
+    grams = F.when(n_tok >= 2, F.array_sort(F.transform(
+        F.sequence(F.lit(0), n_tok - 2),
+        lambda i: F.concat_ws(" ", F.element_at(F.col("_toks"), i + 1),
+                              F.element_at(F.col("_toks"), i + 2)),
+    ))).otherwise(F.array().cast("array<string>"))
+    staged = base.withColumn("_grams", grams)
+    # max run length over the SORTED bigram array == max frequency
+    run_state = F.aggregate(
+        F.col("_grams"),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_bigram_frac = F.when(n_bigrams <= 0, F.lit(0.0)).otherwise(
+        run_state["best"].cast("double") / n_bigrams
+    )
+    return (
+        staged.withColumn("n_lines", n_lines.cast("long"))
+        .withColumn("dup_line_frac", F.round(dup_line_frac, 6))
+        .withColumn("n_bigrams", n_bigrams.cast("long"))
+        .withColumn("top_bigram_frac", F.round(top_bigram_frac, 6))
+        .drop("_lines", "_toks", "_grams")
+    )

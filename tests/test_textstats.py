@@ -9,6 +9,7 @@ from ocr_obsidian_spark.operators.textstats import (
     with_fingerprint,
     with_lang_id,
     with_quality_score,
+    with_repetition_stats,
     with_token_counts,
 )
 
@@ -68,6 +69,32 @@ def test_lang_id(spark):
     assert rows[2] == "de"
     assert rows[3] == "fr"
     assert rows[4] == "und"
+
+
+def test_repetition_stats_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, None),  # null text → all-zero stats, no NULL leakage
+            (2, "one"),  # single token → no bigrams
+            (3, "a b a b a b"),  # "a b" x3, "b a" x2 → top = 3/5
+            (4, "x\nx\nx\ny"),  # 4 lines, 2 distinct → dup 0.5
+            (5, "all words distinct here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    assert rows[1]["n_lines"] == 1 and rows[1]["n_bigrams"] == 0
+    assert rows[1]["dup_line_frac"] == 0.0 and rows[1]["top_bigram_frac"] == 0.0
+    assert rows[2]["n_bigrams"] == 0 and rows[2]["top_bigram_frac"] == 0.0
+    assert rows[3]["n_bigrams"] == 5
+    assert rows[3]["top_bigram_frac"] == 0.6
+    assert rows[4]["n_lines"] == 4 and rows[4]["dup_line_frac"] == 0.5
+    assert rows[5]["top_bigram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    # schema: counters are long, fractions are double in [0, 1]
+    out = with_repetition_stats(df)
+    kinds = dict(out.dtypes)
+    assert kinds["n_lines"] == "bigint" and kinds["n_bigrams"] == "bigint"
+    assert kinds["dup_line_frac"] == "double" and kinds["top_bigram_frac"] == "double"
 
 
 def test_fingerprint_whitespace_invariant(spark):
