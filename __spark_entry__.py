@@ -712,6 +712,51 @@ def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_quality_tiers(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style head/middle/tail tiering: exact ntile(3) by rounded
+    quality score within language (desc, doc_id tiebreak — both sides
+    order on the ROUNDED score so cross-engine float dust can't flip
+    ranks). tier_by_cutpoints is the sketch-based 100 TB path, pinned to
+    this exact window by tests."""
+    from ocr_obsidian_spark.operators.textstats import (
+        with_quality_score,
+        with_quality_tiers,
+    )
+
+    d = _t(spark, sf, "documents")
+    scored = with_quality_score(d).withColumn(
+        "q_score", F.round("quality_score", 6)
+    )
+    tiered = with_quality_tiers(scored, score_col="q_score", by="lang", tiers=3)
+    return tiered.select(
+        "doc_id", "lang", "q_score", F.col("tier").cast("long").alias("tier")
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Line-level boilerplate removal with deterministically injected
+    cross-document footers (the raw corpus is single-line): a footer on
+    every doc, a newsletter line on every third, a unique tail line that
+    must survive."""
+    from ocr_obsidian_spark.operators.webprep import drop_duplicated_lines
+
+    d = _t(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nCopyright Fixture Footer"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\nSubscribe To Our Newsletter"))
+            .otherwise(F.lit("")),
+            F.lit("\nunique tail "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return drop_duplicated_lines(injected, min_docs=2, out_col="clean_text").select(
+        "doc_id", "clean_text", "n_lines_kept", "n_lines_dropped"
+    )
+
+
 def q_unicode_nfc(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC canonicalization with deterministically injected
     DECOMPOSED sequences (combining acute, combining ring) — NFC must
@@ -777,6 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "unicode_nfc": q_unicode_nfc,
         "repetition_stats": q_repetition_stats,
+        "quality_tiers": q_quality_tiers,
+        "line_dedup": q_line_dedup,
         # rows-only: extract_pipeline is the pandas-UDF extraction spine
         # (pinned byte-identical to the reference by tests/ — the ONE
         # genuinely non-SQL-expressible query left)
@@ -1257,6 +1304,67 @@ def oracle_sql() -> dict[str, str]:
                          ELSE coalesce(top, 0)::DOUBLE / (len(toks) - 1)
                          END, 6) AS top_bigram_frac
             FROM l LEFT JOIN t ON l.doc_id = t.doc_id
+        """,
+        "quality_tiers": f"""
+            WITH n AS (SELECT doc_id, lang, {_NORM_SQL} AS norm FROM documents),
+            feats AS (
+                SELECT doc_id, lang,
+                       greatest(length(norm), 1) AS nn,
+                       length(regexp_replace(norm, '[^a-z]', '', 'g')) AS n_alpha,
+                       length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS n_punct,
+                       greatest(len(string_split(norm, ' ')), 1) AS n_words,
+                       len(list_filter(string_split(norm, ' '),
+                           x -> x IN ('the','and','of','to','is','that','a','in','it','for','on','with')))
+                           AS n_stop,
+                       length(norm) AS raw_len
+                FROM n
+            ),
+            s AS (
+                SELECT doc_id, lang,
+                       round(greatest(
+                           CASE WHEN NOT (raw_len >= 20 AND raw_len <= 100000) THEN 0.0
+                                ELSE least(1.0,
+                                    (n_alpha / nn) * 0.5
+                                    + least((n_stop / n_words) * 4, 1.0) * 0.3
+                                    + CASE WHEN (nn / n_words) >= 2.0 AND (nn / n_words) <= 12.0
+                                           THEN 0.2 ELSE 0.0 END
+                                    - CASE WHEN (n_punct / nn) > 0.2 THEN 0.3 ELSE 0.0 END)
+                           END, 0.0), 6) AS q_score
+                FROM feats
+            )
+            SELECT doc_id, lang, q_score,
+                   CAST(ntile(3) OVER (
+                       PARTITION BY lang ORDER BY q_score DESC, doc_id
+                   ) AS BIGINT) AS tier
+            FROM s
+        """,
+        "line_dedup": """
+            WITH inj AS (
+                SELECT doc_id,
+                       coalesce(text, '') || chr(10) || 'Copyright Fixture Footer'
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN chr(10) || 'Subscribe To Our Newsletter'
+                               ELSE '' END
+                       || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR)
+                           AS text
+                FROM documents),
+            l AS (
+                SELECT doc_id, i AS pos, lines[i] AS line,
+                       lower(trim(lines[i])) AS norm
+                FROM (SELECT doc_id, lines,
+                             unnest(generate_series(1, len(lines))) AS i
+                      FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+                            FROM inj))),
+            d AS (SELECT norm FROM l WHERE norm <> ''
+                  GROUP BY norm HAVING count(DISTINCT doc_id) >= 2),
+            m AS (SELECT l.doc_id, l.pos, l.line, (d.norm IS NOT NULL) AS dup
+                  FROM l LEFT JOIN d ON l.norm = d.norm)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT dup THEN line END,
+                                       chr(10) ORDER BY pos), '') AS clean_text,
+                   CAST(count(*) FILTER (WHERE NOT dup) AS BIGINT) AS n_lines_kept,
+                   CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_lines_dropped
+            FROM m GROUP BY doc_id
         """,
         "unicode_nfc": """
             WITH inj AS (

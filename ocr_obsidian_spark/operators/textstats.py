@@ -111,6 +111,70 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_quality_tiers(
+    df: DataFrame,
+    *,
+    score_col: str = "quality_score",
+    by: str | None = "lang",
+    tiers: int = 3,
+    id_col: str = "doc_id",
+    tier_col: str = "tier",
+) -> DataFrame:
+    """Exact quality tiering: rank documents by ``score_col`` (desc,
+    ``id_col`` tiebreak) within each ``by`` group and split into ``tiers``
+    equal buckets — tier 1 = head (best), tier N = tail. The corpus-curation
+    move behind head/middle/tail selection: keep the head, sample the
+    middle, drop the tail.
+
+    EXACT but small-scale: ``ntile`` needs a total order per group, which
+    Spark executes as ONE task per ``by`` partition — right for oracle
+    verification and per-language corpora that fit a task, wrong for a
+    100 TB monolingual crawl. Use :func:`tier_by_cutpoints` (sketch-based,
+    map-only assign) at scale.
+    """
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(by) if by else Window.partitionBy()
+    w = part.orderBy(F.col(score_col).desc(), F.col(id_col))
+    return df.withColumn(tier_col, F.ntile(int(tiers)).over(w))
+
+
+def tier_by_cutpoints(
+    df: DataFrame,
+    *,
+    score_col: str = "quality_score",
+    by: str | None = "lang",
+    tiers: int = 3,
+    tier_col: str = "tier",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Scalable quality tiering: per-group approximate score quantiles
+    (``approx_percentile`` — a mergeable sketch, so the groupBy is
+    map-side-combined partial aggregation) broadcast-joined back, tier
+    assigned map-only. The 100 TB shape of :func:`with_quality_tiers`:
+    no global sort, no one-task-per-group window — the corpus is touched
+    by exactly one extra map pass.
+
+    Tier boundaries are approximate (sketch error ~1/accuracy of the rank);
+    away from cutpoints the assignment equals the exact ntile.
+    """
+    k = int(tiers)
+    probs = F.array(*[F.lit(1.0 - i / k) for i in range(1, k)])
+    keys = [by] if by else []
+    cuts = df.groupBy(*keys).agg(
+        F.percentile_approx(score_col, probs, F.lit(int(accuracy))).alias("_cuts")
+    )
+    joined = df.join(F.broadcast(cuts), on=keys) if keys else df.crossJoin(
+        F.broadcast(cuts)
+    )
+    # tier = 1 + number of cutpoints strictly above the score
+    # (_cuts is descending: [q_{(k-1)/k}, ..., q_{1/k}])
+    tier = F.size(
+        F.filter(F.col("_cuts"), lambda c: c > F.col(score_col))
+    ) + F.lit(1)
+    return joined.withColumn(tier_col, tier).drop("_cuts")
+
+
 def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals — the standard boilerplate/spam
     filters a training-data pipeline applies before dedup:

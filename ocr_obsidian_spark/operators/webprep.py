@@ -118,6 +118,73 @@ def decontaminate(
     return docs.join(contaminated, id_col, "left_anti")
 
 
+def drop_duplicated_lines(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Line-level boilerplate removal: drop every line whose normalized
+    form (lower+trim) appears in ≥ ``min_docs`` DISTINCT documents, then
+    reassemble each document in original line order. The standard crawl
+    cleanup for nav bars / cookie banners / copyright footers that repeat
+    across a site but aren't whole-document duplicates.
+
+    Returns ``(id_col, out_col, n_lines_kept, n_lines_dropped)`` — one row
+    per input row, empty string when every line was boilerplate.
+
+    Scale shape (three shuffles, all on narrow rows):
+      1. posexplode → groupBy(norm_line) countDistinct(doc) — partial
+         aggregation map-side; the heavy text column never rides past the
+         explode projection.
+      2. shuffle hash join of (id, pos, line) against the boilerplate set
+         on the SAME norm key — co-partitioned with the aggregation's
+         output, and the boilerplate side is the post-filter minority.
+      3. groupBy(doc) rebuild — collect_list of (pos, line) structs,
+         sorted in-task, concat_ws'd; no window, no global sort.
+    Blank lines are structural, never dedup candidates.
+    """
+    out = out_col or text_col
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("_pos", "_line"),
+    ).withColumn("_norm", F.lower(F.trim(F.col("_line"))))
+    boiler = (
+        lines.filter(F.col("_norm") != "")
+        .groupBy("_norm")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= int(min_docs))
+        .select("_norm", F.lit(True).alias("_dup"))
+    )
+    marked = lines.join(boiler, "_norm", "left").withColumn(
+        "_keep", F.col("_dup").isNull()
+    )
+    xs = F.array_sort(F.collect_list(F.struct("_pos", "_keep", "_line")))
+    # staged projection: _kept is referenced three times below and HOF
+    # lambdas are NOT common-subexpression-eliminated across columns
+    staged = (
+        marked.groupBy(id_col)
+        .agg(xs.alias("_xs"))
+        .select(
+            id_col,
+            F.size("_xs").alias("_n"),
+            F.filter(F.col("_xs"), lambda x: x["_keep"]).alias("_kept"),
+        )
+    )
+    return staged.select(
+        id_col,
+        F.concat_ws(
+            "\n", F.transform(F.col("_kept"), lambda x: x["_line"])
+        ).alias(out),
+        F.size("_kept").cast("long").alias("n_lines_kept"),
+        (F.col("_n") - F.size("_kept")).cast("long").alias("n_lines_dropped"),
+    )
+
+
 def normalize_unicode(
     df: DataFrame,
     *,

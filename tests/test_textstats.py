@@ -6,9 +6,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from ocr_obsidian_spark.operators.textstats import (
+    tier_by_cutpoints,
     with_fingerprint,
     with_lang_id,
     with_quality_score,
+    with_quality_tiers,
     with_repetition_stats,
     with_token_counts,
 )
@@ -95,6 +97,47 @@ def test_repetition_stats_edges(spark):
     kinds = dict(out.dtypes)
     assert kinds["n_lines"] == "bigint" and kinds["n_bigrams"] == "bigint"
     assert kinds["dup_line_frac"] == "double" and kinds["top_bigram_frac"] == "double"
+
+
+def test_quality_tiers_exact(spark):
+    # two groups of 6 docs with distinct scores → tiers of exactly 2
+    df = spark.createDataFrame(
+        [(gi * 10 + i, g, float(i)) for gi, g in enumerate(("a", "b")) for i in range(6)],
+        ["doc_id", "grp", "score"],
+    )
+    out = with_quality_tiers(df, score_col="score", by="grp", tiers=3)
+    got = {(r["grp"], r["score"]): r["tier"] for r in out.collect()}
+    for g in ("a", "b"):
+        assert got[(g, 5.0)] == 1 and got[(g, 4.0)] == 1
+        assert got[(g, 3.0)] == 2 and got[(g, 2.0)] == 2
+        assert got[(g, 1.0)] == 3 and got[(g, 0.0)] == 3
+
+
+def test_tier_by_cutpoints_matches_ntile(docs, spark):
+    """The sketch path must agree with exact ntile away from boundaries
+    and stay monotone (higher score ⇒ never a worse tier number)."""
+    import pyspark.sql.functions as F
+
+    scored = with_quality_score(docs).withColumn(
+        "q", F.round("quality_score", 6)
+    ).select("doc_id", "lang", "q")
+    exact = with_quality_tiers(scored, score_col="q", by="lang", tiers=3)
+    approx = tier_by_cutpoints(
+        scored, score_col="q", by="lang", tiers=3, tier_col="tier_a"
+    )
+    j = exact.join(approx.select("doc_id", "tier_a"), "doc_id").collect()
+    # boundary ties can differ by at most one tier; bulk must agree
+    diffs = [abs(r["tier"] - r["tier_a"]) for r in j]
+    assert max(diffs) <= 1
+    assert sum(1 for d in diffs if d == 0) >= 0.9 * len(j)
+    # monotone within each language
+    by_lang: dict[str, list] = {}
+    for r in j:
+        by_lang.setdefault(r["lang"], []).append((r["q"], r["tier_a"]))
+    for pairs in by_lang.values():
+        pairs.sort(key=lambda p: (-p[0], p[1]))
+        tiers = [t for _, t in pairs]
+        assert tiers == sorted(tiers)
 
 
 def test_fingerprint_whitespace_invariant(spark):

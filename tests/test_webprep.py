@@ -118,3 +118,41 @@ def test_normalize_unicode_nfc(spark):
     assert "fin" in nfkc[0] and "ﬁ" not in nfkc[0]  # NFKC folds it
     with pytest.raises(ValueError):
         normalize_unicode(df, form="NFX")
+
+
+def test_drop_duplicated_lines(spark):
+    from ocr_obsidian_spark.operators.webprep import drop_duplicated_lines
+
+    rows = [
+        (1, "Unique opening one\nCookie Banner\n\nbody text alpha\nCookie Banner"),
+        (2, "cookie banner\nbody text beta\n\nFooter Inc"),
+        (3, "Footer Inc\nbody text gamma"),
+        (4, "Cookie Banner"),  # all-boilerplate doc → empty output
+        (5, None),  # null text behaves like empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in drop_duplicated_lines(df, min_docs=2, out_col="clean").collect()
+    }
+    # normalized 'cookie banner' spans docs 1/2/4; 'footer inc' spans 2/3;
+    # blank lines are structural and must survive in place
+    assert out[1]["clean"] == "Unique opening one\n\nbody text alpha"
+    assert out[1]["n_lines_kept"] == 3 and out[1]["n_lines_dropped"] == 2
+    assert out[2]["clean"] == "body text beta\n"
+    assert out[3]["clean"] == "body text gamma"
+    assert out[4]["clean"] == "" and out[4]["n_lines_kept"] == 0
+    assert out[5]["clean"] == "" and out[5]["n_lines_kept"] == 1
+    # one row per input row, order-insensitive
+    assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_drop_duplicated_lines_min_docs(spark):
+    from ocr_obsidian_spark.operators.webprep import drop_duplicated_lines
+
+    rows = [(i, "shared line\nown " + str(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    strict = drop_duplicated_lines(df, min_docs=4, out_col="clean")
+    assert all(r["n_lines_dropped"] == 0 for r in strict.collect())
+    loose = drop_duplicated_lines(df, min_docs=3, out_col="clean")
+    assert all(r["clean"] == "own " + str(r["doc_id"]) for r in loose.collect())
