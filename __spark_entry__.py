@@ -757,6 +757,64 @@ def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# the synthetic page skeleton, shared verbatim by the Spark build and the
+# DuckDB oracle's `||` concatenation (no single quotes — safe SQL literals):
+# head with style+script, link-farm nav, short h1 (below min_chars), the
+# document text as the body paragraph, an entity tail, link-farm footer
+_HTML_HEAD = (
+    "<html><head><title>t</title><style>p{margin:0}</style>"
+    "<script>if (1 < 2) track();</script></head><body>"
+    "<nav><a href=/>Home</a> <a href=/search>Search</a>"
+    " <a href=/login>Login</a></nav><h1>Doc "
+)
+_HTML_MID1 = "</h1><p>"
+_HTML_MID2 = (
+    "</p><p>Entities &amp; escapes &lt;ok&gt; plus a tail long"
+    " enough to keep for doc "
+)
+_HTML_TAIL = (
+    ".</p><footer><a href=/tos>Terms</a> <a href=/privacy>Privacy</a>"
+    " <a href=/cookies>Cookies</a></footer></body></html>"
+)
+
+
+def _synthetic_html(d: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_HEAD), did, F.lit(_HTML_MID1),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(_HTML_MID2), did, F.lit(_HTML_TAIL),
+        ).alias("html_str"),
+    )
+
+
+def q_html_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """Tag-level HTML block segmentation + link-density boilerplate
+    features over deterministically synthesized pages (the documents text
+    wrapped in a nav/footer skeleton). All-native regexp expressions; the
+    oracle replays the exact Java∩RE2 patterns in DuckDB."""
+    from ocr_obsidian_spark.operators.htmltext import html_blocks
+
+    d = _t(spark, sf, "documents")
+    return html_blocks(_synthetic_html(d)).select(
+        "doc_id", "block_idx", "block_text", "n_chars", "link_chars",
+        "link_density", "is_content",
+    )
+
+
+def q_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Main-content extraction: content blocks of the synthetic pages
+    reassembled in order; nav/footer/script boilerplate must vanish."""
+    from ocr_obsidian_spark.operators.htmltext import extract_main_content
+
+    d = _t(spark, sf, "documents")
+    return extract_main_content(_synthetic_html(d)).select(
+        "doc_id", "main_text", "n_blocks_kept", "n_blocks_dropped"
+    )
+
+
 def q_unicode_nfc(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC canonicalization with deterministically injected
     DECOMPOSED sequences (combining acute, combining ring) — NFC must
@@ -824,6 +882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "quality_tiers": q_quality_tiers,
         "line_dedup": q_line_dedup,
+        "html_blocks": q_html_blocks,
+        "html_extract": q_html_extract,
         # rows-only: extract_pipeline is the pandas-UDF extraction spine
         # (pinned byte-identical to the reference by tests/ — the ONE
         # genuinely non-SQL-expressible query left)
@@ -883,6 +943,88 @@ def _lsh_ann_sql(dim: int = 64, n_bits: int = 6, n_tables: int = 8, seed: int = 
             JOIN e ce ON ce.vec_id = neighbor_id
         )
         SELECT query_id, neighbor_id, rn AS rank FROM ranked WHERE rn <= 5
+    """
+
+
+def _html_oracle_sql(extract: bool) -> str:
+    """DuckDB recomputation of q_html_blocks / q_html_extract: the page
+    skeleton and every regex are imported from the operator module, so the
+    oracle provably runs the same Java∩RE2-subset patterns (verified
+    bit-identical split/extract semantics incl. trailing empties)."""
+    from ocr_obsidian_spark.operators.htmltext import (
+        _ANCHOR_RE,
+        _ANY_TAG_RE,
+        _BLOCK_TAG_RE,
+        _COMMENT_RE,
+        _SCRIPT_RE,
+        _STYLE_RE,
+    )
+
+    def decode(expr: str) -> str:
+        for ent, ch in (
+            ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+            ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&"),
+        ):
+            expr = "replace(%s, '%s', '%s')" % (expr, ent, ch)
+        return expr
+
+    def blocktext(x: str) -> str:
+        inner = "regexp_replace(%s, '%s', ' ', 'g')" % (x, _ANY_TAG_RE)
+        return "trim(regexp_replace(%s, '\\s+', ' ', 'g'))" % decode(inner)
+
+    base = """
+        WITH h AS (
+            SELECT doc_id,
+                   '{head}' || CAST(doc_id AS VARCHAR) || '{mid1}'
+                   || coalesce(text, '') || '{mid2}'
+                   || CAST(doc_id AS VARCHAR) || '{tail}' AS html
+            FROM documents),
+        s AS (SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(html,
+                         '{script}', ' ', 'g'), '{style}', ' ', 'g'),
+                         '{comment}', ' ', 'g') AS cleaned
+              FROM h),
+        c AS (SELECT doc_id, string_split_regex(cleaned, '{blocktag}') AS chunks
+              FROM s),
+        e AS (SELECT doc_id, i - 1 AS block_idx, chunks[i] AS chunk
+              FROM (SELECT doc_id, chunks,
+                           unnest(generate_series(1, len(chunks))) AS i
+                    FROM c)),
+        t AS (SELECT doc_id, block_idx,
+                     {btext} AS block_text,
+                     coalesce(list_sum(list_transform(
+                         regexp_extract_all(chunk, '{anchor}', 1),
+                         a -> length({atext}))), 0) AS link_chars
+              FROM e),
+        f AS (SELECT doc_id, block_idx, block_text,
+                     length(block_text) AS n_chars, link_chars,
+                     link_chars::DOUBLE / length(block_text) AS ld
+              FROM t WHERE length(block_text) > 0)
+    """.format(
+        head=_HTML_HEAD, mid1=_HTML_MID1, mid2=_HTML_MID2, tail=_HTML_TAIL,
+        script=_SCRIPT_RE, style=_STYLE_RE, comment=_COMMENT_RE,
+        blocktag=_BLOCK_TAG_RE, anchor=_ANCHOR_RE,
+        btext=blocktext("chunk"), atext=blocktext("a"),
+    )
+    if not extract:
+        return base + """
+            SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, block_text,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(link_chars AS BIGINT) AS link_chars,
+                   round(ld, 6) AS link_density,
+                   (n_chars >= 25 AND ld <= 0.4) AS is_content
+            FROM f
+        """
+    return base + """
+        SELECT doc_id,
+               coalesce(string_agg(
+                   CASE WHEN n_chars >= 25 AND ld <= 0.4 THEN block_text END,
+                   chr(10) || chr(10) ORDER BY block_idx), '') AS main_text,
+               CAST(count(*) FILTER (WHERE n_chars >= 25 AND ld <= 0.4)
+                    AS BIGINT) AS n_blocks_kept,
+               CAST(count(*) FILTER (WHERE NOT (n_chars >= 25 AND ld <= 0.4))
+                    AS BIGINT) AS n_blocks_dropped
+        FROM f GROUP BY doc_id
     """
 
 
@@ -1305,6 +1447,8 @@ def oracle_sql() -> dict[str, str]:
                          END, 6) AS top_bigram_frac
             FROM l LEFT JOIN t ON l.doc_id = t.doc_id
         """,
+        "html_blocks": _html_oracle_sql(extract=False),
+        "html_extract": _html_oracle_sql(extract=True),
         "quality_tiers": f"""
             WITH n AS (SELECT doc_id, lang, {_NORM_SQL} AS norm FROM documents),
             feats AS (

@@ -124,3 +124,17 @@ def test_ivf_assign_large_k_uses_arrow_eval(spark):
     assert "ArrowEvalPython" in p
     small = ivf_assign(df, cents[:4])._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in small
+
+
+def test_html_blocks_map_only_and_extract_single_shuffle(spark):
+    import __spark_entry__ as e
+
+    # block features are a pure generator pipeline — no exchange at all
+    p = plan_str(e.q_html_blocks(spark, SF))
+    assert "Exchange" not in p
+
+    # the document rebuild is ONE hash shuffle and NO restore join (empty
+    # chunks ride through the aggregate, so every doc_id has a group)
+    p = plan_str(e.q_html_extract(spark, SF), mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
