@@ -712,6 +712,45 @@ def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_url_canon(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization over deterministically 'dirtied' urls — four
+    rotating noise variants (tracking params + fragment, trailing slash,
+    gclid-only query, clean) on an uppercased host with a default port."""
+    from ocr_obsidian_spark.operators.webprep import canonicalize_url
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    noisy = F.concat(
+        F.lit("HTTPS://"),
+        F.upper(F.col("source")),
+        F.lit("-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Test:443/Doc/"),
+        did,
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=x&b=2&a=1#top"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("/"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("?gclid=abc"))
+        .otherwise(F.lit("")),
+    )
+    return canonicalize_url(
+        d.select("doc_id", noisy.alias("url")), out_col="canon_url"
+    ).select("doc_id", "canon_url")
+
+
+def q_mix_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted per-source corpus mixing (keep fractions per source,
+    md5-bucket deterministic)."""
+    from ocr_obsidian_spark.operators.webprep import mix_corpus
+
+    d = _docs_with_urls(spark, sf)
+    # sources are src0..src19; weight a spread of fractions incl. 0-keep
+    # (absent sources) and full-keep
+    kept = mix_corpus(
+        d, {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.05}
+    )
+    return kept.select("doc_id", "source")
+
+
 def q_quality_tiers(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style head/middle/tail tiering: exact ntile(3) by rounded
     quality score within language (desc, doc_id tiebreak — both sides
@@ -884,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "html_blocks": q_html_blocks,
         "html_extract": q_html_extract,
+        "url_canon": q_url_canon,
+        "mix_corpus": q_mix_corpus,
         # rows-only: extract_pipeline is the pandas-UDF extraction spine
         # (pinned byte-identical to the reference by tests/ — the ONE
         # genuinely non-SQL-expressible query left)
@@ -1449,6 +1490,59 @@ def oracle_sql() -> dict[str, str]:
         """,
         "html_blocks": _html_oracle_sql(extract=False),
         "html_extract": _html_oracle_sql(extract=True),
+        "url_canon": """
+            WITH u AS (
+                SELECT doc_id,
+                       'HTTPS://' || upper(source) || '-'
+                       || CAST(doc_id % 7 AS VARCHAR) || '.Test:443/Doc/'
+                       || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1#top'
+                               WHEN doc_id % 4 = 1 THEN '/'
+                               WHEN doc_id % 4 = 2 THEN '?gclid=abc'
+                               ELSE '' END AS url
+                FROM documents),
+            s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
+            s2 AS (SELECT doc_id,
+                          regexp_extract(u, '\\?(.*)$', 1) AS q,
+                          regexp_replace(u, '\\?.*$', '') AS base
+                   FROM s1),
+            s3 AS (SELECT doc_id, q, base,
+                          regexp_extract(base,
+                              '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS shr
+                   FROM s2),
+            s4 AS (SELECT doc_id, q, lower(shr) AS shl,
+                          substr(base, length(shr) + 1, length(base)) AS path
+                   FROM s3),
+            s5 AS (SELECT doc_id, q,
+                          CASE WHEN regexp_matches(shl, '^http://.*:80$')
+                                   THEN regexp_replace(shl, ':80$', '')
+                               WHEN regexp_matches(shl, '^https://.*:443$')
+                                   THEN regexp_replace(shl, ':443$', '')
+                               ELSE shl END AS sh,
+                          regexp_replace(path, '/+$', '') AS path
+                   FROM s4),
+            s6 AS (SELECT doc_id, sh, path,
+                          -- array_to_string of an EMPTY list is NULL in
+                          -- DuckDB (Spark array_join gives '') — coalesce
+                          coalesce(array_to_string(list_sort(list_filter(
+                              string_split(q, '&'),
+                              p -> p <> '' AND NOT regexp_matches(p,
+                                  '^(?:utm_[^=&]*|gclid|fbclid|msclkid|ref)(?:=.*)?$')
+                          )), '&'), '') AS cq
+                   FROM s5)
+            SELECT doc_id,
+                   sh || path || CASE WHEN cq = '' THEN ''
+                                      ELSE '?' || cq END AS canon_url
+            FROM s6
+        """,
+        "mix_corpus": f"""
+            WITH u AS (SELECT doc_id, source, {_URL_SQL} AS url FROM documents)
+            SELECT doc_id, source FROM u
+            WHERE ('0x' || substr(md5(url), 1, 8))::BIGINT % 10000 <
+                  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                              WHEN 'src2' THEN 2500 WHEN 'src3' THEN 500
+                              ELSE 0 END
+        """,
         "quality_tiers": f"""
             WITH n AS (SELECT doc_id, lang, {_NORM_SQL} AS norm FROM documents),
             feats AS (

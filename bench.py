@@ -132,7 +132,7 @@ def main() -> None:
         # web-corpus preparation suite (round 3)
         "domain_cap", "hash_sample", "decontaminate", "pii_scrub", "unicode_nfc",
         "repetition_stats", "quality_tiers", "line_dedup",
-        "html_blocks", "html_extract",
+        "html_blocks", "html_extract", "url_canon", "mix_corpus",
     ]
     # "simhash" keeps benching the xxhash64 PRODUCTION fingerprint
     # (BASELINE.md definition); the driver contract's simhash query is its

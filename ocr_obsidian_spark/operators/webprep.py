@@ -77,6 +77,81 @@ def hash_sample(
     return df.filter(bucket < int(keep_pct))
 
 
+# scheme://host prefix of an url (query/fragment never start a host)
+SCHEME_HOST_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+# query params dropped at canonicalization time (analytics/click noise)
+TRACKING_PARAM_RE = "^(?:utm_[^=&]*|gclid|fbclid|msclkid|ref)(?:=.*)?$"
+
+
+def canonicalize_url(
+    df: DataFrame, *, url_col: str = "url", out_col: str | None = None
+) -> DataFrame:
+    """Canonicalize urls so URL-level dedup keys agree across crawls:
+    drop the fragment, lowercase scheme://host (never the path — paths
+    are case-sensitive), strip default ports (:80 http, :443 https) and
+    trailing slashes, remove tracking params, sort the surviving query
+    params bytewise.
+
+    Map-only expression chain (zero shuffles); every regex is in the
+    Java∩RE2 common subset so the driver oracle replays it in DuckDB.
+    Schemeless strings pass through with only fragment/query/slash
+    handling (nothing to lowercase)."""
+    u0 = F.coalesce(F.col(url_col), F.lit(""))
+    u = F.regexp_replace(u0, "#.*$", "")
+    query = F.regexp_extract(u, "\\?(.*)$", 1)
+    base = F.regexp_replace(u, "\\?.*$", "")
+    sh_raw = F.regexp_extract(base, SCHEME_HOST_RE, 1)
+    shl = F.lower(sh_raw)
+    sh = (
+        F.when(shl.rlike("^http://.*:80$"), F.regexp_replace(shl, ":80$", ""))
+        .when(shl.rlike("^https://.*:443$"), F.regexp_replace(shl, ":443$", ""))
+        .otherwise(shl)
+    )
+    path = F.regexp_replace(
+        base.substr(F.length(sh_raw) + 1, F.length(base)), "/+$", ""
+    )
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    out = F.concat(
+        sh,
+        path,
+        F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
+    )
+    return df.withColumn(out_col or url_col, out)
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    source_col: str = "source",
+    key_col: str = "url",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic corpus mixing: keep each source at its target
+    fraction (0..1) by content-keyed md5 buckets — the per-source
+    downsampling step of a training-data recipe (e.g. cap web at 0.3,
+    keep curated sources whole). Sources absent from ``weights`` drop.
+
+    Like hash_sample, the keep decision is a pure function of the key:
+    reproducible across runs, engines and parallelism, and map-only (the
+    weight table compiles into the filter expression — no join)."""
+    if any(not (0.0 <= w <= 1.0) for w in weights.values()):
+        raise ValueError("mix weights must be fractions in [0, 1]")
+    bucket = F.conv(F.substring(F.md5(F.col(key_col)), 1, 8), 16, 10).cast(
+        "long"
+    ) % buckets
+    thresh = F.lit(0)
+    for src, frac in sorted(weights.items()):
+        thresh = F.when(
+            F.col(source_col) == src, F.lit(int(round(frac * buckets)))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
 def benchmark_shingles(
     benchmark: DataFrame, *, text_col: str = "text", k: int = 8
 ) -> DataFrame:

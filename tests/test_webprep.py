@@ -156,3 +156,51 @@ def test_drop_duplicated_lines_min_docs(spark):
     assert all(r["n_lines_dropped"] == 0 for r in strict.collect())
     loose = drop_duplicated_lines(df, min_docs=3, out_col="clean")
     assert all(r["clean"] == "own " + str(r["doc_id"]) for r in loose.collect())
+
+
+def test_canonicalize_url(spark):
+    from ocr_obsidian_spark.operators.webprep import canonicalize_url
+
+    rows = [
+        (1, "HTTPS://Example.COM:443/Path/Sub/?utm_source=x&b=2&a=1#frag"),
+        (2, "http://example.com:80/"),
+        (3, "http://example.com:8080/x"),  # non-default port survives
+        (4, "https://example.com/x?fbclid=zz"),
+        (5, "no-scheme/path/"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["url"] for r in canonicalize_url(df).collect()}
+    # host lowercased, :443 stripped, path case kept, trailing / stripped,
+    # tracking params dropped, survivors sorted
+    assert got[1] == "https://example.com/Path/Sub?a=1&b=2"
+    assert got[2] == "http://example.com"
+    assert got[3] == "http://example.com:8080/x"
+    assert got[4] == "https://example.com/x"
+    assert got[5] == "no-scheme/path"
+    assert got[6] == ""
+
+
+def test_mix_corpus(spark):
+    from ocr_obsidian_spark.operators.webprep import mix_corpus
+
+    rows = [
+        (i, src, f"https://h/{src}/{i}")
+        for i in range(200)
+        for src in ("keep_all", "half", "drop_me")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, url string")
+    kept = mix_corpus(df, {"keep_all": 1.0, "half": 0.5}).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src["keep_all"]) == 200
+    assert 60 <= len(by_src["half"]) <= 140  # md5-bucket ≈ half
+    assert "drop_me" not in by_src  # unweighted sources drop
+    # deterministic: same keys → same keep set on a rerun
+    again = mix_corpus(df, {"keep_all": 1.0, "half": 0.5}).collect()
+    assert sorted((r["source"], r["doc_id"]) for r in again) == sorted(
+        (r["source"], r["doc_id"]) for r in kept
+    )
+    with pytest.raises(ValueError):
+        mix_corpus(df, {"half": 1.5})
