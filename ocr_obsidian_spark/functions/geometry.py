@@ -20,12 +20,20 @@ def y_center(bbox: BBox) -> float:
 
 
 def bbox_union(boxes: list[BBox]) -> BBox:
-    return [
-        min(b[0] for b in boxes),
-        min(b[1] for b in boxes),
-        max(b[2] for b in boxes),
-        max(b[3] for b in boxes),
-    ]
+    # single pass instead of four min/max generator sweeps — this sits in
+    # the per-line hot loop of the extraction UDF
+    first = boxes[0]
+    x1, y1, x2, y2 = first[0], first[1], first[2], first[3]
+    for b in boxes:
+        if b[0] < x1:
+            x1 = b[0]
+        if b[1] < y1:
+            y1 = b[1]
+        if b[2] > x2:
+            x2 = b[2]
+        if b[3] > y2:
+            y2 = b[3]
+    return [x1, y1, x2, y2]
 
 
 def bbox_intersection(a: BBox, b: BBox) -> tuple[int, int, int]:
@@ -55,9 +63,13 @@ def group_lines(
 
     import numpy as np
 
+    # natural tuple sort: (cy, x1, insertion index) needs no key lambda —
+    # the index tiebreak reproduces key-sort stability exactly, and dicts
+    # never reach the comparison
     keyed = sorted(
-        ((y_center(w["bbox"]), w["bbox"][0], w) for w in words),
-        key=lambda t: (t[0], t[1]),
+        ((b[1] + b[3]) / 2.0, b[0], i, w)
+        for i, w in enumerate(words)
+        for b in (w["bbox"],)
     )
     # first-match cluster search vectorized: a 10⁷-byte page has ~10⁵ words
     # over ~10³ clusters, and the per-cluster python loop (reference
@@ -78,7 +90,7 @@ def group_lines(
     # hybrid search: plain loop while the cluster count is small (typical
     # page ≈ 10 lines — numpy call overhead would dominate), numpy
     # first-match beyond that; identical float64 comparisons either way
-    for cy, _, w in keyed:
+    for cy, _, _, w in keyed:
         matched = -1
         if k > 48:
             hit = np.abs(means[:k] - cy) <= tol
@@ -113,7 +125,7 @@ def group_lines(
                 "line_id": f"p{page_num}_l{idx}",
                 "bbox": bbox_union([w["bbox"] for w in ws]),
                 "words": ws,
-                "text": " ".join(str(w["text"]) for w in ws),
+                "text": " ".join([str(w["text"]) for w in ws]),
             }
         )
     return lines

@@ -25,24 +25,36 @@ def _line_display_text(line: dict[str, Any]) -> str:
     raw ``text`` field (reference ingest/qa_metrics.py:30-35)."""
     words = line.get("words")
     if isinstance(words, (list, tuple)) and len(words) > 0:
-        joined = " ".join(
-            str(w.get("text", "")) for w in words if str(w.get("text", "")).strip()
-        )
-        return joined.strip()
+        parts = []
+        for w in words:
+            t = str(w.get("text", ""))
+            if t.strip():
+                parts.append(t)
+        return " ".join(parts).strip()
     return str(line.get("text", "")).strip()
 
 
-def compute_text_metrics(lines: list[dict[str, Any]]) -> dict[str, Any]:
+def compute_text_metrics(
+    lines: list[dict[str, Any]], *, trusted_line_text: bool = False
+) -> dict[str, Any]:
     """char/line counts, confidence mean, alpha/garbage/pipe ratios
     (reference ingest/qa_metrics.py:38-78).
 
     Note alpha_ratio here is alpha/ALNUM (not alpha/len as in the token-level
     cleanup) — the two definitions intentionally differ in the reference.
+
+    ``trusted_line_text=True`` skips the per-word display-text rebuild and
+    reads ``line["text"]`` directly. ONLY valid for group_lines output,
+    where it is provably identical: every admitted word's text is
+    non-empty after strip (admit_word) and stored pre-stripped
+    (extract.py), so _line_display_text's non-blank filter keeps all of
+    them and the join has no edge whitespace to strip — the property test
+    pins this equivalence over generated corpora.
     """
     texts: list[str] = []
     confs: list[float] = []
     for line in lines:
-        text = _line_display_text(line)
+        text = line["text"] if trusted_line_text else _line_display_text(line)
         if not text:
             continue
         texts.append(text)

@@ -95,7 +95,7 @@ def _extract_one(url: str, html: Any, cfg: PipelineConfig) -> dict[str, Any]:
 
     lines = group_lines(words, page_num, cfg.line_y_tolerance_px)
     raw_text = render_raw_text(lines)
-    metrics = compute_text_metrics(lines)
+    metrics = compute_text_metrics(lines, trusted_line_text=True)
     garbage = is_garbage_page(metrics, cfg.qa)
     clean = render_page_text(lines) if cfg.clean_text else raw_text
     if garbage:

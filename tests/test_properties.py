@@ -153,3 +153,39 @@ def test_render_byte_identical_property(line_words):
             }
         )
     assert render_page_text(lines) == oracle_render(lines)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            _texty,
+            st.floats(min_value=-5, max_value=100, allow_nan=False),
+            st.integers(min_value=0, max_value=500),   # x1
+            st.integers(min_value=0, max_value=900),   # y1
+            st.integers(min_value=0, max_value=30),    # width (0 → rejected)
+            st.integers(min_value=0, max_value=30),    # height
+        ),
+        max_size=24,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_trusted_line_text_metrics_equivalence(raw_words):
+    """compute_text_metrics(trusted_line_text=True) must equal BOTH the
+    untrusted path and the reference on lines produced by the real
+    admission + group_lines path (the provenance the fast path trusts)."""
+    from ingest.qa_metrics import compute_text_metrics as oracle_metrics
+
+    from ocr_obsidian_spark.functions.geometry import admit_word, group_lines
+    from ocr_obsidian_spark.functions.qa import compute_text_metrics
+
+    words = []
+    for t, c, x1, y1, w, h in raw_words:
+        if admit_word(t, c, w, h):
+            words.append(
+                {"text": str(t).strip(), "bbox": [x1, y1, x1 + w, y1 + h],
+                 "confidence": float(c)}
+            )
+    lines = group_lines(words, 1, 14)
+    fast = compute_text_metrics(lines, trusted_line_text=True)
+    slow = compute_text_metrics(lines)
+    assert fast == slow == oracle_metrics(lines)
