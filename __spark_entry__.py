@@ -751,6 +751,23 @@ def q_mix_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return kept.select("doc_id", "source")
 
 
+def q_pack_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget shard packing: whitespace token counts → md5-bucket
+    groups → streaming-concat packing at 500 tokens/shard (8 groups so
+    each holds ~62 test docs and the budget genuinely binds)."""
+    from ocr_obsidian_spark.operators.textstats import with_token_counts
+    from ocr_obsidian_spark.operators.webprep import pack_shards
+
+    d = _docs_with_urls(spark, sf)
+    packed = pack_shards(
+        with_token_counts(d), 500, tokens_col="n_ws_tokens", groups=8
+    )
+    return packed.select(
+        "doc_id", "shard_group", "shard_idx",
+        F.col("n_ws_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def q_quality_tiers(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style head/middle/tail tiering: exact ntile(3) by rounded
     quality score within language (desc, doc_id tiebreak — both sides
@@ -925,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "url_canon": q_url_canon,
         "mix_corpus": q_mix_corpus,
+        "pack_shards": q_pack_shards,
         # rows-only: extract_pipeline is the pandas-UDF extraction spine
         # (pinned byte-identical to the reference by tests/ — the ONE
         # genuinely non-SQL-expressible query left)
@@ -1542,6 +1560,25 @@ def oracle_sql() -> dict[str, str]:
                   CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
                               WHEN 'src2' THEN 2500 WHEN 'src3' THEN 500
                               ELSE 0 END
+        """,
+        "pack_shards": f"""
+            WITH u AS (SELECT doc_id, {_URL_SQL} AS url,
+                              {_NORM_SQL} AS norm
+                       FROM documents),
+            t AS (SELECT doc_id,
+                         CASE WHEN length(norm) = 0 THEN 0
+                              ELSE len(string_split(norm, ' ')) END AS n_tok,
+                         ('0x' || substr(md5(url), 1, 8))::BIGINT % 8
+                             AS shard_group
+                  FROM u),
+            w AS (SELECT doc_id, shard_group, n_tok,
+                         sum(n_tok) OVER (PARTITION BY shard_group
+                                          ORDER BY doc_id) - n_tok AS cb
+                  FROM t)
+            SELECT doc_id, shard_group,
+                   CAST(floor(cb / 500) AS BIGINT) AS shard_idx,
+                   CAST(n_tok AS BIGINT) AS n_tokens
+            FROM w
         """,
         "quality_tiers": f"""
             WITH n AS (SELECT doc_id, lang, {_NORM_SQL} AS norm FROM documents),

@@ -152,6 +152,49 @@ def mix_corpus(
     return df.filter(bucket < thresh)
 
 
+def pack_shards(
+    df: DataFrame,
+    budget: int,
+    *,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    key_col: str = "url",
+    groups: int = 64,
+) -> DataFrame:
+    """Token-budget sharding: assign each document to a training shard of
+    ≈``budget`` tokens by streaming-concat packing — the deterministic
+    analog of what a training-file writer does when it cuts the corpus
+    into ~N-token files.
+
+    Documents are first spread over ``groups`` md5-bucket groups (pure
+    function of ``key_col`` — reproducible at any parallelism), then
+    packed within each group in ``id_col`` order: a document starts the
+    next shard when the running total BEFORE it has filled the budget
+    (``shard_idx = floor(cum_before / budget)``), so shards are
+    contiguous id ranges within a group and a document never splits.
+
+    One shuffle on the group key. Each group's window is a single task —
+    size ``groups`` to the cluster (≈ 10⁵ at 100 TB), not to 64; the
+    default fits the local test corpus.
+    """
+    grp = F.conv(F.substring(F.md5(F.col(key_col)), 1, 8), 16, 10).cast(
+        "long"
+    ) % groups
+    staged = df.withColumn("_grp", grp)
+    w = (
+        Window.partitionBy("_grp")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)
+    return (
+        staged.withColumn(
+            "shard_idx", F.floor(cum_before / F.lit(int(budget))).cast("long")
+        )
+        .withColumnRenamed("_grp", "shard_group")
+    )
+
+
 def benchmark_shingles(
     benchmark: DataFrame, *, text_col: str = "text", k: int = 8
 ) -> DataFrame:

@@ -204,3 +204,27 @@ def test_mix_corpus(spark):
     )
     with pytest.raises(ValueError):
         mix_corpus(df, {"half": 1.5})
+
+
+def test_pack_shards(spark):
+    from ocr_obsidian_spark.operators.webprep import pack_shards
+
+    # one group (groups=1) → pure streaming packing in doc_id order
+    rows = [(i, f"u{i}", t) for i, t in enumerate([300, 300, 300, 900, 100, 50])]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_tokens long")
+    out = sorted(
+        (r["doc_id"], r["shard_idx"])
+        for r in pack_shards(df, 500, groups=1).collect()
+    )
+    # cum_before: 0,300,600,900,1800,1900 → shards 0,0,1,1,3,3
+    assert out == [(0, 0), (1, 0), (2, 1), (3, 1), (4, 3), (5, 3)]
+    # a shard never splits a document; shards are contiguous id ranges
+    packed = pack_shards(df, 500, groups=1).collect()
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r["shard_idx"], []).append(r["doc_id"])
+    for ids in by_shard.values():
+        assert ids == sorted(ids)
+    # determinism across parallelism
+    again = pack_shards(df.repartition(5), 500, groups=1).collect()
+    assert sorted((r["doc_id"], r["shard_idx"]) for r in again) == out
