@@ -950,7 +950,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_NORM_SQL = "lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))"
+# whitespace via the shared explicit class — Java \s includes \x0B, RE2's
+# does not, so a bare \s in a both-engines pattern is a latent divergence
+from ocr_obsidian_spark.operators.xengine import WS_RE as _WS_RE  # noqa: E402
+
+_NORM_SQL = (
+    f"lower(trim(regexp_replace(coalesce(text, ''), '{_WS_RE}', ' ', 'g')))"
+)
 
 
 def _lsh_ann_sql(dim: int = 64, n_bits: int = 6, n_tables: int = 8, seed: int = 7) -> str:
@@ -1029,7 +1035,7 @@ def _html_oracle_sql(extract: bool) -> str:
 
     def blocktext(x: str) -> str:
         inner = "regexp_replace(%s, '%s', ' ', 'g')" % (x, _ANY_TAG_RE)
-        return "trim(regexp_replace(%s, '\\s+', ' ', 'g'))" % decode(inner)
+        return "trim(regexp_replace(%s, '%s', ' ', 'g'))" % (decode(inner), _WS_RE)
 
     base = """
         WITH h AS (
@@ -1350,7 +1356,7 @@ def oracle_sql() -> dict[str, str]:
             k AS (
                 SELECT min(doc_id) AS doc_id
                 FROM d
-                GROUP BY lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))
+                GROUP BY {_NORM_SQL}
             )
             SELECT doc_id FROM k
         """,
@@ -1358,7 +1364,7 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS ({_DOCS_WITH_DUPS_SQL})
             SELECT count(*) AS n_docs, min(doc_id) AS keep_id
             FROM d
-            GROUP BY lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))
+            GROUP BY {_NORM_SQL}
             HAVING count(*) > 1
         """,
         "jaccard_exact": _JACCARD_CTE.format(norm_sql=_NORM_SQL) + """
@@ -1528,11 +1534,12 @@ def oracle_sql() -> dict[str, str]:
                           regexp_extract(base,
                               '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS shr
                    FROM s2),
-            s4 AS (SELECT doc_id, q, lower(shr) AS shl,
+            s4 AS (SELECT doc_id, q, shr, lower(shr) AS shl,
                           substr(base, length(shr) + 1, length(base)) AS path
                    FROM s3),
             s5 AS (SELECT doc_id, q,
-                          CASE WHEN regexp_matches(shl, '^http://.*:80$')
+                          CASE WHEN strpos(shr, '@') > 0 THEN shr
+                               WHEN regexp_matches(shl, '^http://.*:80$')
                                    THEN regexp_replace(shl, ':80$', '')
                                WHEN regexp_matches(shl, '^https://.*:443$')
                                    THEN regexp_replace(shl, ':443$', '')

@@ -304,8 +304,10 @@ def classify_text_blocks(
     A materialized attribute reference is computed once; CollapseProject
     won't re-inline a non-cheap expression referenced more than once.
     """
+    from .xengine import WS_RE
+
     norm = F.lower(
-        F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
+        F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), WS_RE, " "))
     )
     base = docs.select(F.col(id_col), F.split(norm, " ").alias("_toks"))
     toks = F.col("_toks")

@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-_NORM_WS = r"\s+"
+from .xengine import WS_RE as _NORM_WS
 
 
 def normalized_text(col: str = "text") -> F.Column:

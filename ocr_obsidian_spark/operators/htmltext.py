@@ -17,13 +17,16 @@ so the driver oracle replays the exact patterns in DuckDB.
 This is a deliberately principled SUBSET of HTML (the jusText/boilerpipe
 family of heuristics, not a browser): nested same-tag <a> elements and
 malformed markup degrade gracefully (tags are stripped regardless), and
-only the five core named entities + numeric escapes common in crawls are
-decoded.
+entity decoding covers exactly the five core named entities plus the
+single numeric escape ``&#39;`` (apostrophe) — other numeric escapes
+pass through as literal text.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from .xengine import WS_CLASS, WS_RE as _WS_RE
 
 # dropped wholesale: content-free containers (case-insensitive, dotall)
 _SCRIPT_RE = "(?is)<script[^>]*>.*?</script>"
@@ -33,18 +36,18 @@ _COMMENT_RE = "(?s)<!--.*?-->"
 # block-level boundaries: a block ends wherever one of these opens/closes.
 # The name must be followed by whitespace-attrs, '/', or '>' — '[^>]*'
 # alone would make <param>/<picture>/<link> match the p/li branches.
+# WS_CLASS, not \s: Java's \s includes \x0B, RE2's does not (xengine.py).
 _BLOCK_TAG_RE = (
     "(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|"
     "section|article|aside|header|footer|nav|main|blockquote|pre|form|"
-    "fieldset|hr|figure|figcaption)(?:\\s[^>]*)?/?>"
+    "fieldset|hr|figure|figcaption)(?:" + WS_CLASS + "[^>]*)?/?>"
 )
 
 # anchor bodies (for link-density BEFORE inline tags are stripped);
 # '<a(?:\s...)?' not '<a[^>]*' — the latter would also match <abbr>/<area>
-_ANCHOR_RE = "(?is)<a(?:\\s[^>]*)?>(.*?)</a>"
+_ANCHOR_RE = "(?is)<a(?:" + WS_CLASS + "[^>]*)?>(.*?)</a>"
 
 _ANY_TAG_RE = "<[^>]*>"
-_WS_RE = "\\s+"
 
 
 def _decode_entities(col: F.Column) -> F.Column:

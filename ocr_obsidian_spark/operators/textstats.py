@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-_WS = r"\s+"
+from .xengine import WS_RE as _WS
 
 # tiny per-language stopword marker sets for the heuristic language scorer
 _LANG_MARKERS = {

@@ -71,10 +71,9 @@ def hash_sample(
     same document is kept in every run, on every engine, at any
     parallelism (reproducible corpus recipes; md5 because DuckDB shares it
     bit-for-bit, see the driver oracle)."""
-    bucket = F.conv(F.substring(F.md5(F.col(key_col)), 1, 8), 16, 10).cast(
-        "long"
-    ) % buckets
-    return df.filter(bucket < int(keep_pct))
+    from .xengine import md5_bucket
+
+    return df.filter(md5_bucket(key_col, buckets) < int(keep_pct))
 
 
 # scheme://host prefix of an url (query/fragment never start a host)
@@ -95,7 +94,9 @@ def canonicalize_url(
     Map-only expression chain (zero shuffles); every regex is in the
     Java∩RE2 common subset so the driver oracle replays it in DuckDB.
     Schemeless strings pass through with only fragment/query/slash
-    handling (nothing to lowercase)."""
+    handling (nothing to lowercase). Authorities carrying userinfo
+    (``user:pass@host``) are left untouched — userinfo is case-sensitive
+    per RFC 3986, so lowercasing would collapse distinct resources."""
     u0 = F.coalesce(F.col(url_col), F.lit(""))
     u = F.regexp_replace(u0, "#.*$", "")
     query = F.regexp_extract(u, "\\?(.*)$", 1)
@@ -103,7 +104,8 @@ def canonicalize_url(
     sh_raw = F.regexp_extract(base, SCHEME_HOST_RE, 1)
     shl = F.lower(sh_raw)
     sh = (
-        F.when(shl.rlike("^http://.*:80$"), F.regexp_replace(shl, ":80$", ""))
+        F.when(sh_raw.contains("@"), sh_raw)
+        .when(shl.rlike("^http://.*:80$"), F.regexp_replace(shl, ":80$", ""))
         .when(shl.rlike("^https://.*:443$"), F.regexp_replace(shl, ":443$", ""))
         .otherwise(shl)
     )
@@ -139,17 +141,22 @@ def mix_corpus(
     Like hash_sample, the keep decision is a pure function of the key:
     reproducible across runs, engines and parallelism, and map-only (the
     weight table compiles into the filter expression — no join)."""
+    from .xengine import md5_bucket
+
     if any(not (0.0 <= w <= 1.0) for w in weights.values()):
         raise ValueError("mix weights must be fractions in [0, 1]")
-    bucket = F.conv(F.substring(F.md5(F.col(key_col)), 1, 8), 16, 10).cast(
-        "long"
-    ) % buckets
     thresh = F.lit(0)
     for src, frac in sorted(weights.items()):
-        thresh = F.when(
-            F.col(source_col) == src, F.lit(int(round(frac * buckets)))
-        ).otherwise(thresh)
-    return df.filter(bucket < thresh)
+        n_keep = int(round(frac * buckets))
+        if frac > 0.0 and n_keep == 0:
+            # never silently quantize an explicit positive weight to
+            # zero-keep — the caller meant to keep SOME of this source
+            raise ValueError(
+                f"weight {frac} for {src!r} rounds to 0 of {buckets} "
+                f"buckets; raise `buckets` to express it"
+            )
+        thresh = F.when(F.col(source_col) == src, F.lit(n_keep)).otherwise(thresh)
+    return df.filter(md5_bucket(key_col, buckets) < thresh)
 
 
 def pack_shards(
@@ -177,9 +184,11 @@ def pack_shards(
     size ``groups`` to the cluster (≈ 10⁵ at 100 TB), not to 64; the
     default fits the local test corpus.
     """
-    grp = F.conv(F.substring(F.md5(F.col(key_col)), 1, 8), 16, 10).cast(
-        "long"
-    ) % groups
+    from .xengine import md5_bucket
+
+    if int(budget) <= 0:
+        raise ValueError(f"shard budget must be positive, got {budget}")
+    grp = md5_bucket(key_col, groups)
     staged = df.withColumn("_grp", grp)
     w = (
         Window.partitionBy("_grp")

@@ -1,0 +1,31 @@
+"""Cross-engine building blocks shared by operators AND their DuckDB
+driver oracles (one definition each, so the two sides can't drift).
+
+Whitespace: Java's ``\\s`` is ``[ \\t\\n\\x0B\\f\\r]`` but RE2's ``\\s``
+omits ``\\x0B`` — a bare ``\\s`` in a pattern that both engines run is a
+latent divergence on vertical-tab input. ``WS_CLASS`` spells the set out
+(``\\xhh`` parses identically in Java regex and RE2), preserving Spark's
+semantics bit-for-bit while pinning DuckDB to the same set.
+
+md5 buckets: the deterministic content-keyed partitioner used by
+hash_sample / mix_corpus / pack_shards — a pure function of the key, so
+keep-sets and shard groups reproduce across runs, engines and any
+parallelism. md5 is the one hash both engines share bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# exactly Java-regex \s, spelled explicitly for RE2 parity
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+WS_RE = WS_CLASS + "+"
+
+
+def md5_bucket(key: str | Column, buckets: int) -> Column:
+    """Bucket in [0, buckets): first 32 md5 bits of the key, mod buckets.
+
+    DuckDB twin: ``('0x' || substr(md5(key), 1, 8))::BIGINT % buckets``.
+    """
+    col = F.col(key) if isinstance(key, str) else key
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % buckets

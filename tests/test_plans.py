@@ -92,6 +92,9 @@ def test_minhash_signatures_map_only(spark):
 def test_block_classifier_prunes_scan(spark):
     from ocr_obsidian_spark.operators.blocks import classify_text_blocks
 
+    # another module's session-shared cache of this table would swap the
+    # parquet scan for InMemoryTableScan and hide ReadSchema
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = plan_str(classify_text_blocks(docs))
     read_schema = p.split("ReadSchema")[1].splitlines()[0]
