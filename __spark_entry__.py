@@ -719,22 +719,10 @@ def q_url_canon(spark: SparkSession, sf: str) -> DataFrame:
     from ocr_obsidian_spark.operators.webprep import canonicalize_url
 
     d = _t(spark, sf, "documents")
-    did = F.col("doc_id").cast("string")
-    noisy = F.concat(
-        F.lit("HTTPS://"),
-        F.upper(F.col("source")),
-        F.lit("-"),
-        (F.col("doc_id") % 7).cast("string"),
-        F.lit(".Test:443/Doc/"),
-        did,
-        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=x&b=2&a=1#top"))
-        .when(F.col("doc_id") % 4 == 1, F.lit("/"))
-        .when(F.col("doc_id") % 4 == 2, F.lit("?gclid=abc"))
-        .otherwise(F.lit("")),
+    noisy = d.select("doc_id", "source", _noisy_url(F.col("doc_id")).alias("url"))
+    return canonicalize_url(noisy, out_col="canon_url").select(
+        "doc_id", "canon_url"
     )
-    return canonicalize_url(
-        d.select("doc_id", noisy.alias("url")), out_col="canon_url"
-    ).select("doc_id", "canon_url")
 
 
 def q_mix_corpus(spark: SparkSession, sf: str) -> DataFrame:
@@ -749,6 +737,74 @@ def q_mix_corpus(spark: SparkSession, sf: str) -> DataFrame:
         d, {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.05}
     )
     return kept.select("doc_id", "source")
+
+
+def _noisy_url(base_id: F.Column) -> F.Column:
+    """Deterministically 'dirtied' url for a given id expression — four
+    rotating noise variants (tracking params + fragment, trailing slash,
+    gclid-only query, clean) on an uppercased host with a default port.
+    Shared by q_url_canon (id = doc_id, all distinct) and q_url_dedup
+    (id = doc_id // 2, so noise-variant pairs collide after
+    canonicalization)."""
+    bid = base_id.cast("string")
+    return F.concat(
+        F.lit("HTTPS://"),
+        F.upper(F.col("source")),
+        F.lit("-"),
+        (base_id % 7).cast("string"),
+        F.lit(".Test:443/Doc/"),
+        bid,
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=x&b=2&a=1#top"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("/"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("?gclid=abc"))
+        .otherwise(F.lit("")),
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-URL dedup: ids are paired onto the same base url with
+    DIFFERENT noise variants — the pair must collapse to one kept doc
+    (lowest id) after canonicalization."""
+    from ocr_obsidian_spark.operators.webprep import drop_url_duplicates
+
+    d = _t(spark, sf, "documents")
+    # constant host (not per-doc source) so a pair's urls differ ONLY in
+    # noise — the gclid/clean variant pairs must actually collide
+    fixed = d.select("doc_id", F.lit("site").alias("source"))
+    noisy = fixed.select(
+        "doc_id", _noisy_url(F.col("doc_id") - (F.col("doc_id") % 2)).alias("url")
+    )
+    return drop_url_duplicates(noisy).select("doc_id", "url")
+
+
+def q_script_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode-script composition over deterministically injected
+    multilingual tails (the raw corpus is latin-only): cyrillic, arabic
+    or CJK appended by doc_id class."""
+    from ocr_obsidian_spark.operators.textstats import with_script_mix
+
+    d = _t(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 4 == 1, F.lit(" " + _CYR_SAMPLE))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" " + _ARA_SAMPLE))
+            .when(F.col("doc_id") % 4 == 3, F.lit(" " + _CJK_SAMPLE))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return with_script_mix(injected).select(
+        "doc_id", "latin_frac", "cyrillic_frac", "arabic_frac", "cjk_frac",
+        "dominant_script",
+    )
+
+
+# injected multilingual samples, chr()-built so the SAME python string is
+# embedded in the Spark literal and the UTF-8 oracle SQL
+_CYR_SAMPLE = "".join(chr(c) for c in range(0x0430, 0x0450)) * 8
+_ARA_SAMPLE = "".join(chr(c) for c in range(0x0627, 0x063B)) * 8
+_CJK_SAMPLE = "".join(chr(c) for c in range(0x4E00, 0x4E20)) * 8
 
 
 def q_pack_shards(spark: SparkSession, sf: str) -> DataFrame:
@@ -943,6 +999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "mix_corpus": q_mix_corpus,
         "pack_shards": q_pack_shards,
+        "url_dedup": q_url_dedup,
+        "script_mix": q_script_mix,
         # rows-only: extract_pipeline is the pandas-UDF extraction spine
         # (pinned byte-identical to the reference by tests/ — the ONE
         # genuinely non-SQL-expressible query left)
@@ -1090,6 +1148,95 @@ def _html_oracle_sql(extract: bool) -> str:
                CAST(count(*) FILTER (WHERE NOT (n_chars >= 25 AND ld <= 0.4))
                     AS BIGINT) AS n_blocks_dropped
         FROM f GROUP BY doc_id
+    """
+
+
+def _noisy_url_sql(bid: str) -> str:
+    """DuckDB twin of _noisy_url: noise variants keyed on doc_id, base
+    url keyed on ``bid`` (an SQL expression)."""
+    return f"""'HTTPS://' || upper(source) || '-'
+                       || CAST({bid} % 7 AS VARCHAR) || '.Test:443/Doc/'
+                       || CAST({bid} AS VARCHAR)
+                       || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1#top'
+                               WHEN doc_id % 4 = 1 THEN '/'
+                               WHEN doc_id % 4 = 2 THEN '?gclid=abc'
+                               ELSE '' END"""
+
+
+# canonicalization CTE chain (expects a prior CTE u(doc_id, url));
+# terminates in canon(doc_id, canon_url). DuckDB twin of
+# webprep.canonicalize_url — kept in ONE place for url_canon + url_dedup.
+_CANON_STEPS_SQL = """
+            s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
+            s2 AS (SELECT doc_id,
+                          regexp_extract(u, '\\?(.*)$', 1) AS q,
+                          regexp_replace(u, '\\?.*$', '') AS base
+                   FROM s1),
+            s3 AS (SELECT doc_id, q, base,
+                          regexp_extract(base,
+                              '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS shr
+                   FROM s2),
+            s4 AS (SELECT doc_id, q, shr, lower(shr) AS shl,
+                          substr(base, length(shr) + 1, length(base)) AS path
+                   FROM s3),
+            s5 AS (SELECT doc_id, q,
+                          CASE WHEN strpos(shr, '@') > 0 THEN shr
+                               WHEN regexp_matches(shl, '^http://.*:80$')
+                                   THEN regexp_replace(shl, ':80$', '')
+                               WHEN regexp_matches(shl, '^https://.*:443$')
+                                   THEN regexp_replace(shl, ':443$', '')
+                               ELSE shl END AS sh,
+                          regexp_replace(path, '/+$', '') AS path
+                   FROM s4),
+            s6 AS (SELECT doc_id, sh, path,
+                          -- array_to_string of an EMPTY list is NULL in
+                          -- DuckDB (Spark array_join gives '') — coalesce
+                          coalesce(array_to_string(list_sort(list_filter(
+                              string_split(q, '&'),
+                              p -> p <> '' AND NOT regexp_matches(p,
+                                  '^(?:utm_[^=&]*|gclid|fbclid|msclkid|ref)(?:=.*)?$')
+                          )), '&'), '') AS cq
+                   FROM s5),
+            canon AS (SELECT doc_id,
+                             sh || path || CASE WHEN cq = '' THEN ''
+                                                ELSE '?' || cq END AS canon_url
+                      FROM s6)"""
+
+
+def _script_mix_sql() -> str:
+    """DuckDB recomputation of q_script_mix: the injected samples and the
+    literal-character script ranges are the SAME python strings the Spark
+    side uses (UTF-8 straight into the SQL text)."""
+    from ocr_obsidian_spark.operators.textstats import _SCRIPT_RANGES
+
+    counts = ",\n                   ".join(
+        f"length(regexp_replace(raw, '[^{rng}]', '', 'g')) AS c_{name}"
+        for name, rng in _SCRIPT_RANGES.items()
+    )
+    names = list(_SCRIPT_RANGES)
+    g = "greatest(" + ", ".join(f"c_{n}" for n in names) + ")"
+    pick = " ".join(f"WHEN c_{n} = g THEN '{n}'" for n in names)
+    fracs = ",\n               ".join(
+        f"round(c_{n}::DOUBLE / n, 6) AS {n}_frac" for n in names
+    )
+    return f"""
+        WITH inj AS (
+            SELECT doc_id,
+                   coalesce(text, '')
+                   || CASE WHEN doc_id % 4 = 1 THEN ' {_CYR_SAMPLE}'
+                           WHEN doc_id % 4 = 2 THEN ' {_ARA_SAMPLE}'
+                           WHEN doc_id % 4 = 3 THEN ' {_CJK_SAMPLE}'
+                           ELSE '' END AS raw
+            FROM documents),
+        c AS (SELECT doc_id, greatest(length(raw), 1) AS n,
+                   {counts}
+              FROM inj),
+        gg AS (SELECT *, {g} AS g FROM c)
+        SELECT doc_id,
+               {fracs},
+               CASE WHEN g = 0 THEN 'und' {pick} ELSE 'und' END
+                   AS dominant_script
+        FROM gg
     """
 
 
@@ -1514,52 +1661,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "html_blocks": _html_oracle_sql(extract=False),
         "html_extract": _html_oracle_sql(extract=True),
-        "url_canon": """
-            WITH u AS (
-                SELECT doc_id,
-                       'HTTPS://' || upper(source) || '-'
-                       || CAST(doc_id % 7 AS VARCHAR) || '.Test:443/Doc/'
-                       || CAST(doc_id AS VARCHAR)
-                       || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1#top'
-                               WHEN doc_id % 4 = 1 THEN '/'
-                               WHEN doc_id % 4 = 2 THEN '?gclid=abc'
-                               ELSE '' END AS url
-                FROM documents),
-            s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
-            s2 AS (SELECT doc_id,
-                          regexp_extract(u, '\\?(.*)$', 1) AS q,
-                          regexp_replace(u, '\\?.*$', '') AS base
-                   FROM s1),
-            s3 AS (SELECT doc_id, q, base,
-                          regexp_extract(base,
-                              '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS shr
-                   FROM s2),
-            s4 AS (SELECT doc_id, q, shr, lower(shr) AS shl,
-                          substr(base, length(shr) + 1, length(base)) AS path
-                   FROM s3),
-            s5 AS (SELECT doc_id, q,
-                          CASE WHEN strpos(shr, '@') > 0 THEN shr
-                               WHEN regexp_matches(shl, '^http://.*:80$')
-                                   THEN regexp_replace(shl, ':80$', '')
-                               WHEN regexp_matches(shl, '^https://.*:443$')
-                                   THEN regexp_replace(shl, ':443$', '')
-                               ELSE shl END AS sh,
-                          regexp_replace(path, '/+$', '') AS path
-                   FROM s4),
-            s6 AS (SELECT doc_id, sh, path,
-                          -- array_to_string of an EMPTY list is NULL in
-                          -- DuckDB (Spark array_join gives '') — coalesce
-                          coalesce(array_to_string(list_sort(list_filter(
-                              string_split(q, '&'),
-                              p -> p <> '' AND NOT regexp_matches(p,
-                                  '^(?:utm_[^=&]*|gclid|fbclid|msclkid|ref)(?:=.*)?$')
-                          )), '&'), '') AS cq
-                   FROM s5)
-            SELECT doc_id,
-                   sh || path || CASE WHEN cq = '' THEN ''
-                                      ELSE '?' || cq END AS canon_url
-            FROM s6
+        "url_canon": "WITH u AS (SELECT doc_id, "
+        + _noisy_url_sql("doc_id")
+        + " AS url FROM documents), "
+        + _CANON_STEPS_SQL
+        + " SELECT doc_id, canon_url FROM canon",
+        "url_dedup": "WITH u AS (SELECT doc_id, "
+        + _noisy_url_sql("(doc_id - doc_id % 2)")
+        + """ AS url
+              FROM (SELECT doc_id, 'site' AS source FROM documents)), """
+        + _CANON_STEPS_SQL
+        + """,
+            r AS (SELECT doc_id,
+                         row_number() OVER (PARTITION BY canon_url
+                                            ORDER BY doc_id) AS rn
+                  FROM canon)
+            SELECT u.doc_id, u.url FROM u JOIN r ON u.doc_id = r.doc_id
+            WHERE r.rn = 1
         """,
+        "script_mix": _script_mix_sql(),
         "mix_corpus": f"""
             WITH u AS (SELECT doc_id, source, {_URL_SQL} AS url FROM documents)
             SELECT doc_id, source FROM u

@@ -111,6 +111,48 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# unicode script ranges as LITERAL characters (chr()-built), so Java regex
+# and RE2 parse the identical class — \uXXXX vs \x{XXXX} escape syntax
+# differs between the engines, literal chars don't. BMP-only on purpose:
+# both engines count length() in code points there.
+_SCRIPT_RANGES = {
+    "latin": "a-zA-Z",
+    "cyrillic": chr(0x0400) + "-" + chr(0x04FF),
+    "arabic": chr(0x0600) + "-" + chr(0x06FF),
+    "cjk": chr(0x4E00) + "-" + chr(0x9FFF),
+}
+
+
+def with_script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode-script composition signals: per-document fraction of
+    letters from each major script (latin / cyrillic / arabic / CJK) and
+    the dominant script (``und`` when none hit) — the cheap script-ID
+    gate a crawl pipeline applies before (or as a sanity check on)
+    model-based language ID, and the standard mixed-script spam signal.
+
+    Map-only regexp counting, whole-stage codegen; ties break by the
+    fixed script order for determinism."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.greatest(F.length(raw), F.lit(1))
+    counts = {
+        name: F.length(F.regexp_replace(raw, "[^" + rng + "]", ""))
+        for name, rng in _SCRIPT_RANGES.items()
+    }
+    out = df
+    for name, cnt in counts.items():
+        out = out.withColumn(
+            f"{name}_frac", F.round(cnt.cast("double") / n, 6)
+        )
+    names = list(_SCRIPT_RANGES)
+    best = F.greatest(*[counts[s] for s in names])
+    pick = F.lit("und")
+    for s in reversed(names):
+        pick = F.when(counts[s] == best, F.lit(s)).otherwise(pick)
+    return out.withColumn(
+        "dominant_script", F.when(best > 0, pick).otherwise(F.lit("und"))
+    )
+
+
 def with_quality_tiers(
     df: DataFrame,
     *,

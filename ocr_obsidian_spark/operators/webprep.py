@@ -125,6 +125,28 @@ def canonicalize_url(
     return df.withColumn(out_col or url_col, out)
 
 
+def drop_url_duplicates(
+    df: DataFrame, *, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup: canonicalize urls (fragments, tracking params,
+    default ports, trailing slashes, host case) and keep the lowest-id
+    document per canonical url — the standard first dedup pass of a crawl
+    pipeline (re-crawls and tracking-param variants collapse before any
+    content hashing runs).
+
+    One shuffle on the canonical url; Spark inserts a map-side
+    WindowGroupLimit so only one row per url per partition reaches the
+    exchange. Deterministic (id order), reproducible at any parallelism.
+    """
+    canon = canonicalize_url(df, url_col=url_col, out_col="_canon")
+    w = Window.partitionBy("_canon").orderBy(id_col)
+    return (
+        canon.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_canon")
+    )
+
+
 def mix_corpus(
     df: DataFrame,
     weights: dict[str, float],

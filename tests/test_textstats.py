@@ -149,3 +149,23 @@ def test_fingerprint_whitespace_invariant(spark):
     assert rows[1]["fingerprint_md5"] == rows[2]["fingerprint_md5"]
     assert rows[1]["fingerprint64"] == rows[2]["fingerprint64"]
     assert rows[1]["fingerprint_md5"] != rows[3]["fingerprint_md5"]
+
+
+def test_script_mix(spark):
+    from ocr_obsidian_spark.operators.textstats import with_script_mix
+
+    rows = [
+        (1, "plain latin text"),
+        (2, "привет мир"),  # cyrillic
+        (3, "一丁丂七丄丅丆万丈三 ab"),  # 10 cjk vs 2 latin → cjk-dominant
+        (4, "1234 .,!?"),  # no letters at all
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_script_mix(df).collect()}
+    assert got[1]["dominant_script"] == "latin" and got[1]["cyrillic_frac"] == 0.0
+    assert got[2]["dominant_script"] == "cyrillic"
+    assert got[2]["cyrillic_frac"] > 0.8
+    assert got[3]["dominant_script"] == "cjk"
+    assert got[4]["dominant_script"] == "und"
+    assert got[5]["dominant_script"] == "und" and got[5]["latin_frac"] == 0.0

@@ -239,3 +239,20 @@ def test_pack_shards(spark):
     assert sorted((r["doc_id"], r["shard_idx"]) for r in again) == out
     with pytest.raises(ValueError, match="budget"):
         pack_shards(df, 0, groups=1)
+
+
+def test_drop_url_duplicates(spark):
+    from ocr_obsidian_spark.operators.webprep import drop_url_duplicates
+
+    rows = [
+        (1, "https://example.com/a?utm_source=x"),
+        (2, "https://Example.COM/a/"),  # same canonical as 1 → dropped
+        (3, "https://example.com/a?x=1"),  # real param → distinct
+        (4, "https://example.com/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(r["doc_id"] for r in drop_url_duplicates(df).collect())
+    assert kept == [1, 3, 4]
+    # original (noisy) url is preserved on the kept row
+    [r1] = [r for r in drop_url_duplicates(df).collect() if r["doc_id"] == 1]
+    assert r1["url"] == "https://example.com/a?utm_source=x"
