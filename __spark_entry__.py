@@ -807,6 +807,44 @@ _ARA_SAMPLE = "".join(chr(c) for c in range(0x0627, 0x063B)) * 8
 _CJK_SAMPLE = "".join(chr(c) for c in range(0x4E00, 0x4E20)) * 8
 
 
+def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph-level boilerplate removal (drop_duplicated_lines with a
+    blank-line separator): a shared subscription paragraph is appended to
+    every third doc alongside a unique paragraph that must survive."""
+    from ocr_obsidian_spark.operators.webprep import drop_duplicated_lines
+
+    d = _t(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\n\nSubscribe to our newsletter for updates."),
+            ).otherwise(F.lit("")),
+            F.lit("\n\nUnique closing paragraph "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return drop_duplicated_lines(
+        injected, min_docs=2, out_col="clean_text", sep="\n\n"
+    ).select("doc_id", "clean_text", "n_lines_kept", "n_lines_dropped")
+
+
+def q_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain blocklist gate over the synthetic urls (hosts
+    srcN-K.test): two exact hosts blocked; subdomain-suffix semantics are
+    pinned by the unit test."""
+    from ocr_obsidian_spark.operators.webprep import (
+        extract_domain,
+        filter_blocked_domains,
+    )
+
+    d = _docs_with_urls(spark, sf)
+    kept = filter_blocked_domains(d, ["src0-0.test", "src1-3.test"])
+    return kept.select("doc_id", extract_domain().alias("domain"))
+
+
 def q_pack_shards(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget shard packing: whitespace token counts → md5-bucket
     groups → streaming-concat packing at 500 tokens/shard (8 groups so
@@ -1001,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "url_dedup": q_url_dedup,
         "script_mix": q_script_mix,
+        "paragraph_dedup": q_paragraph_dedup,
+        "blocklist": q_blocklist,
         # rows-only: extract_pipeline is the pandas-UDF extraction spine
         # (pinned byte-identical to the reference by tests/ — the ONE
         # genuinely non-SQL-expressible query left)
@@ -1680,6 +1720,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE r.rn = 1
         """,
         "script_mix": _script_mix_sql(),
+        "paragraph_dedup": """
+            WITH inj AS (
+                SELECT doc_id,
+                       coalesce(text, '')
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN chr(10) || chr(10)
+                                    || 'Subscribe to our newsletter for updates.'
+                               ELSE '' END
+                       || chr(10) || chr(10) || 'Unique closing paragraph '
+                       || CAST(doc_id AS VARCHAR) AS text
+                FROM documents),
+            l AS (
+                SELECT doc_id, i AS pos, paras[i] AS para,
+                       lower(trim(paras[i])) AS norm
+                FROM (SELECT doc_id, paras,
+                             unnest(generate_series(1, len(paras))) AS i
+                      FROM (SELECT doc_id,
+                                   string_split(text, chr(10) || chr(10)) AS paras
+                            FROM inj))),
+            d AS (SELECT norm FROM l WHERE norm <> ''
+                  GROUP BY norm HAVING count(DISTINCT doc_id) >= 2),
+            m AS (SELECT l.doc_id, l.pos, l.para, (d.norm IS NOT NULL) AS dup
+                  FROM l LEFT JOIN d ON l.norm = d.norm)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT dup THEN para END,
+                                       chr(10) || chr(10) ORDER BY pos), '')
+                       AS clean_text,
+                   CAST(count(*) FILTER (WHERE NOT dup) AS BIGINT)
+                       AS n_lines_kept,
+                   CAST(count(*) FILTER (WHERE dup) AS BIGINT)
+                       AS n_lines_dropped
+            FROM m GROUP BY doc_id
+        """,
+        "blocklist": f"""
+            WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+            d AS (SELECT doc_id,
+                         lower(regexp_extract(url,
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
+                             AS domain
+                  FROM u)
+            SELECT doc_id, domain FROM d
+            WHERE NOT (domain = 'src0-0.test' OR domain LIKE '%.src0-0.test'
+                    OR domain = 'src1-3.test' OR domain LIKE '%.src1-3.test')
+        """,
         "mix_corpus": f"""
             WITH u AS (SELECT doc_id, source, {_URL_SQL} AS url FROM documents)
             SELECT doc_id, source FROM u

@@ -133,7 +133,8 @@ def main() -> None:
         "domain_cap", "hash_sample", "decontaminate", "pii_scrub", "unicode_nfc",
         "repetition_stats", "quality_tiers", "line_dedup",
         "html_blocks", "html_extract", "url_canon", "mix_corpus",
-        "pack_shards", "url_dedup", "script_mix",
+        "pack_shards", "url_dedup", "script_mix", "paragraph_dedup",
+        "blocklist",
     ]
     # "simhash" keeps benching the xxhash64 PRODUCTION fingerprint
     # (BASELINE.md definition); the driver contract's simhash query is its

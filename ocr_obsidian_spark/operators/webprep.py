@@ -125,6 +125,26 @@ def canonicalize_url(
     return df.withColumn(out_col or url_col, out)
 
 
+def filter_blocked_domains(
+    df: DataFrame, blocked: list[str], *, url_col: str = "url"
+) -> DataFrame:
+    """Drop documents whose host is a blocked domain OR any subdomain of
+    one (``ads.example.com`` matches a blocked ``example.com``) — the
+    crawl-pipeline blocklist gate (spam/adult/SEO-farm domain lists).
+
+    The blocklist compiles into the filter expression (map-only, no
+    join) — right for the typical 10³–10⁵-entry curated lists; beyond
+    that, switch to a broadcast anti-join on the reversed-domain prefix.
+    Case-insensitive (hosts are; the match uses the lowercased domain).
+    """
+    dom = extract_domain(url_col)
+    hit = F.lit(False)
+    for b in blocked:
+        bl = b.lower()
+        hit = hit | (dom == bl) | dom.endswith("." + bl)
+    return df.filter(~hit)
+
+
 def drop_url_duplicates(
     df: DataFrame, *, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -274,12 +294,17 @@ def drop_duplicated_lines(
     id_col: str = "doc_id",
     min_docs: int = 2,
     out_col: str | None = None,
+    sep: str = "\n",
 ) -> DataFrame:
     """Line-level boilerplate removal: drop every line whose normalized
     form (lower+trim) appears in ≥ ``min_docs`` DISTINCT documents, then
     reassemble each document in original line order. The standard crawl
     cleanup for nav bars / cookie banners / copyright footers that repeat
     across a site but aren't whole-document duplicates.
+
+    ``sep`` picks the unit: ``"\\n"`` (default) dedups lines,
+    ``"\\n\\n"`` dedups whole paragraphs/blocks (the RefinedWeb-style
+    variant for templated paragraph boilerplate).
 
     Returns ``(id_col, out_col, n_lines_kept, n_lines_dropped)`` — one row
     per input row, empty string when every line was boilerplate.
@@ -299,7 +324,7 @@ def drop_duplicated_lines(
     lines = df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
         ).alias("_pos", "_line"),
     ).withColumn("_norm", F.lower(F.trim(F.col("_line"))))
     boiler = (
@@ -327,7 +352,7 @@ def drop_duplicated_lines(
     return staged.select(
         id_col,
         F.concat_ws(
-            "\n", F.transform(F.col("_kept"), lambda x: x["_line"])
+            sep, F.transform(F.col("_kept"), lambda x: x["_line"])
         ).alias(out),
         F.size("_kept").cast("long").alias("n_lines_kept"),
         (F.col("_n") - F.size("_kept")).cast("long").alias("n_lines_dropped"),

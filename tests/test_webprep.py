@@ -256,3 +256,42 @@ def test_drop_url_duplicates(spark):
     # original (noisy) url is preserved on the kept row
     [r1] = [r for r in drop_url_duplicates(df).collect() if r["doc_id"] == 1]
     assert r1["url"] == "https://example.com/a?utm_source=x"
+
+
+def test_filter_blocked_domains(spark):
+    from ocr_obsidian_spark.operators.webprep import filter_blocked_domains
+
+    rows = [
+        (1, "https://example.com/x"),
+        (2, "https://ads.example.com/x"),  # subdomain of blocked
+        (3, "https://notexample.com/x"),  # suffix but NOT a subdomain
+        (4, "https://EXAMPLE.com/y"),  # case-insensitive host
+        (5, "https://clean.org/z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(
+        r["doc_id"] for r in filter_blocked_domains(df, ["Example.COM"]).collect()
+    )
+    assert kept == [3, 5]
+
+
+def test_drop_duplicated_paragraphs(spark):
+    from ocr_obsidian_spark.operators.webprep import drop_duplicated_lines
+
+    shared = "Subscribe now.\nGreat deals await."  # multi-LINE paragraph
+    rows = [
+        (1, f"Own intro one\n\n{shared}\n\nown body 1"),
+        (2, f"{shared}\n\nown body 2"),
+        (3, "totally distinct\n\ndocument three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in drop_duplicated_lines(
+            df, min_docs=2, out_col="clean", sep="\n\n"
+        ).collect()
+    }
+    # the shared paragraph goes; inner single newlines are untouched
+    assert out[1]["clean"] == "Own intro one\n\nown body 1"
+    assert out[2]["clean"] == "own body 2"
+    assert out[1]["n_lines_dropped"] == 1 and out[3]["n_lines_dropped"] == 0
