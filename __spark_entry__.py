@@ -807,6 +807,53 @@ _ARA_SAMPLE = "".join(chr(c) for c in range(0x0627, 0x063B)) * 8
 _CJK_SAMPLE = "".join(chr(c) for c in range(0x4E00, 0x4E20)) * 8
 
 
+def q_gopher_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher rule-set features over documents with injected spam tails
+    (hash runs, bullet lists, ellipsis endings) so each rule sees
+    non-trivial values."""
+    from ocr_obsidian_spark.operators.textstats import with_gopher_flags
+
+    d = _t(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 5 == 1, F.lit("\n# # # # # # # # # #"))
+            .when(F.col("doc_id") % 5 == 2, F.lit("\n- alpha\n* beta\n• gamma"))
+            .when(F.col("doc_id") % 5 == 3, F.lit("\nread more...\nclick here…"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return with_gopher_flags(injected).select(
+        "doc_id", "symbol_word_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "stop_distinct",
+        "gopher_pass",
+    )
+
+
+def q_c4_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style line cleaning over documents with injected junk lines
+    (short, javascript, curly-brace, lorem-ipsum) plus one clean
+    sentence that must survive."""
+    from ocr_obsidian_spark.operators.webprep import c4_line_filter
+
+    d = _t(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(
+                "\nshort one\nThis line has javascript inside it.\n"
+                "A clean closing sentence stays right here.\n"
+                "curly { brace } lines go away fast."
+            ),
+        ).alias("text"),
+    )
+    return c4_line_filter(injected, out_col="clean_text").select(
+        "doc_id", "clean_text", "n_lines_kept", "n_lines_dropped"
+    )
+
+
 def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Paragraph-level boilerplate removal (drop_duplicated_lines with a
     blank-line separator): a shared subscription paragraph is appended to
@@ -1041,6 +1088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mix": q_script_mix,
         "paragraph_dedup": q_paragraph_dedup,
         "blocklist": q_blocklist,
+        "gopher_flags": q_gopher_flags,
+        "c4_filter": q_c4_filter,
         # rows-only: extract_pipeline is the pandas-UDF extraction spine
         # (pinned byte-identical to the reference by tests/ — the ONE
         # genuinely non-SQL-expressible query left)
@@ -1720,6 +1769,77 @@ def oracle_sql() -> dict[str, str]:
             WHERE r.rn = 1
         """,
         "script_mix": _script_mix_sql(),
+        "gopher_flags": f"""
+            WITH inj AS (
+                SELECT doc_id,
+                       coalesce(text, '')
+                       || CASE WHEN doc_id % 5 = 1 THEN chr(10) || '# # # # # # # # # #'
+                               WHEN doc_id % 5 = 2 THEN chr(10) || '- alpha' || chr(10) || '* beta' || chr(10) || '• gamma'
+                               WHEN doc_id % 5 = 3 THEN chr(10) || 'read more...' || chr(10) || 'click here…'
+                               ELSE '' END AS text
+                FROM documents),
+            b AS (SELECT doc_id, text AS raw, {_NORM_SQL} AS norm FROM inj),
+            f AS (SELECT doc_id,
+                         string_split(raw, chr(10)) AS lines,
+                         string_split(norm, ' ') AS toks,
+                         length(regexp_replace(raw, '[^#]', '', 'g')) AS n_hash,
+                         (length(raw) - length(replace(raw, '...', ''))) / 3
+                             AS n_dots,
+                         length(raw) - length(replace(raw, '…', '')) AS n_uni
+                  FROM b),
+            g AS (SELECT doc_id, n_hash, n_dots, n_uni,
+                         greatest(len(lines), 1) AS n_lines,
+                         greatest(len(toks), 1) AS n_words,
+                         len(list_filter(lines,
+                             l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bul,
+                         len(list_filter(lines,
+                             l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+                             AS n_ell,
+                         len(list_filter(toks,
+                             t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+                         len(list_intersect(list_distinct(toks),
+                             ['the','and','of','to','is','that'])) AS sd
+                  FROM f),
+            r AS (SELECT doc_id,
+                         round((n_hash + n_dots + n_uni) / n_words, 6)
+                             AS symbol_word_ratio,
+                         round(n_bul::DOUBLE / n_lines, 6) AS bullet_line_frac,
+                         round(n_ell::DOUBLE / n_lines, 6)
+                             AS ellipsis_line_frac,
+                         round(n_alpha::DOUBLE / n_words, 6) AS alpha_word_frac,
+                         CAST(sd AS BIGINT) AS stop_distinct
+                  FROM g)
+            SELECT doc_id, symbol_word_ratio, bullet_line_frac,
+                   ellipsis_line_frac, alpha_word_frac, stop_distinct,
+                   (symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+                    AND stop_distinct >= 2) AS gopher_pass
+            FROM r
+        """,
+        "c4_filter": """
+            WITH inj AS (
+                SELECT doc_id,
+                       coalesce(text, '') || chr(10) || 'short one'
+                       || chr(10) || 'This line has javascript inside it.'
+                       || chr(10) || 'A clean closing sentence stays right here.'
+                       || chr(10) || 'curly { brace } lines go away fast.'
+                           AS text
+                FROM documents),
+            l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM inj),
+            k AS (SELECT doc_id, lines,
+                         list_filter(lines, x ->
+                             regexp_matches(lower(trim(x)), '[.!?]["'')\\]]*$')
+                             AND len(string_split(lower(trim(x)), ' ')) >= 3
+                             AND NOT contains(lower(trim(x)), 'javascript')
+                             AND NOT contains(lower(trim(x)), 'lorem ipsum')
+                             AND NOT contains(lower(trim(x)), '{')) AS kept
+                  FROM l)
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                   CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped
+            FROM k
+        """,
         "paragraph_dedup": """
             WITH inj AS (
                 SELECT doc_id,

@@ -134,7 +134,7 @@ def main() -> None:
         "repetition_stats", "quality_tiers", "line_dedup",
         "html_blocks", "html_extract", "url_canon", "mix_corpus",
         "pack_shards", "url_dedup", "script_mix", "paragraph_dedup",
-        "blocklist",
+        "blocklist", "gopher_flags", "c4_filter",
     ]
     # "simhash" keeps benching the xxhash64 PRODUCTION fingerprint
     # (BASELINE.md definition); the driver contract's simhash query is its

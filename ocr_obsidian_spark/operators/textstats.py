@@ -111,6 +111,73 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_distinct_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher rule set beyond what's in with_quality_score /
+    with_repetition_stats: symbol-to-word ratio (# and … spam),
+    bullet-start and ellipsis-end line fractions, fraction of words
+    containing a letter, distinct-stopword count — plus the conjunction
+    as ``gopher_pass``. All per-row array/regexp expressions: map-only,
+    zero shuffles, whole-stage codegen.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.withColumn("_lines", F.split(raw, "\n")).withColumn(
+        "_toks", F.split(_norm(text_col), " ")
+    )
+    n_lines = F.greatest(F.size("_lines"), F.lit(1))
+    n_words = F.greatest(F.size("_toks"), F.lit(1))
+    n_hash = F.length(F.regexp_replace(raw, "[^#]", ""))
+    # occurrences of the two ellipsis spellings, via length deltas
+    n_dots = (F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))) / 3
+    n_uni = F.length(raw) - F.length(F.replace(raw, F.lit("…"), F.lit("")))
+    symbol_word_ratio = (n_hash + n_dots + n_uni).cast("double") / n_words
+    bullet_frac = (
+        F.size(F.filter(F.col("_lines"), lambda l: F.trim(l).rlike("^[-*•]")))
+        .cast("double") / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                F.col("_lines"),
+                lambda l: F.trim(l).rlike("(\\.\\.\\.|…)$"),
+            )
+        ).cast("double") / n_lines
+    )
+    alpha_word_frac = (
+        F.size(F.filter(F.col("_toks"), lambda t: t.rlike("[a-z]")))
+        .cast("double") / n_words
+    )
+    stop_distinct = F.size(
+        F.array_intersect(
+            F.array_distinct(F.col("_toks")),
+            F.array(*[F.lit(s) for s in _LANG_MARKERS["en"]]),
+        )
+    )
+    out = (
+        staged.withColumn("symbol_word_ratio", F.round(symbol_word_ratio, 6))
+        .withColumn("bullet_line_frac", F.round(bullet_frac, 6))
+        .withColumn("ellipsis_line_frac", F.round(ellipsis_frac, 6))
+        .withColumn("alpha_word_frac", F.round(alpha_word_frac, 6))
+        .withColumn("stop_distinct", stop_distinct.cast("long"))
+    )
+    gopher_pass = (
+        (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stop_distinct") >= int(min_distinct_stopwords))
+    )
+    return out.withColumn("gopher_pass", gopher_pass).drop("_lines", "_toks")
+
+
 # unicode script ranges as LITERAL characters (chr()-built), so Java regex
 # and RE2 parse the identical class — \uXXXX vs \x{XXXX} escape syntax
 # differs between the engines, literal chars don't. BMP-only on purpose:

@@ -125,6 +125,56 @@ def canonicalize_url(
     return df.withColumn(out_col or url_col, out)
 
 
+def c4_line_filter(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str | None = None,
+    min_words: int = 3,
+) -> DataFrame:
+    """C4-style line cleaning: keep only lines that end in terminal
+    punctuation, carry at least ``min_words`` words, and don't look like
+    code/boilerplate (``javascript``, ``lorem ipsum``, ``{``) — the
+    sentence-level gate applied before document-level quality scoring.
+
+    Entirely per-row array expressions (split → filter → rejoin): ZERO
+    shuffles, unlike the cross-document line dedup. The norm is staged
+    inside a struct so the HOF filter doesn't recompute lower(trim(l))
+    per predicate term. Adds ``n_lines_kept`` / ``n_lines_dropped``.
+    """
+    out = out_col or text_col
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    staged = df.withColumn(
+        "_lx",
+        F.transform(
+            lines, lambda l: F.struct(l.alias("raw"), F.lower(F.trim(l)).alias("n"))
+        ),
+    )
+    def keep(x):  # noqa: ANN001 - Column struct
+        n = x["n"]
+        return (
+            n.rlike("""[.!?]["')\\]]*$""")
+            & (F.size(F.split(n, " ")) >= int(min_words))
+            & ~n.contains("javascript")
+            & ~n.contains("lorem ipsum")
+            & ~n.contains("{")
+        )
+
+    kept = F.filter(F.col("_lx"), keep)
+    staged2 = staged.withColumn("_kept", kept)
+    return (
+        staged2.withColumn(
+            out, F.concat_ws("\n", F.transform(F.col("_kept"), lambda x: x["raw"]))
+        )
+        .withColumn("n_lines_kept", F.size("_kept").cast("long"))
+        .withColumn(
+            "n_lines_dropped",
+            (F.size("_lx") - F.size("_kept")).cast("long"),
+        )
+        .drop("_lx", "_kept")
+    )
+
+
 def filter_blocked_domains(
     df: DataFrame, blocked: list[str], *, url_col: str = "url"
 ) -> DataFrame:

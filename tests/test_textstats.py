@@ -169,3 +169,27 @@ def test_script_mix(spark):
     assert got[3]["dominant_script"] == "cjk"
     assert got[4]["dominant_script"] == "und"
     assert got[5]["dominant_script"] == "und" and got[5]["latin_frac"] == 0.0
+
+
+def test_gopher_flags(spark):
+    from ocr_obsidian_spark.operators.textstats import with_gopher_flags
+
+    clean = (
+        "The quick brown fox jumps over the lazy dog and it is that good. "
+        "It runs to the hill and the end of the field is near that barn."
+    )
+    rows = [
+        (1, clean),
+        (2, clean + "\n# # # # # # # # # # # # # # # # # # # #"),  # symbol spam
+        (3, "- one\n- two\n- three\n* four"),  # all bullets
+        (4, clean + "\nmore...\nstill more...\nagain…\nyet…"),  # ellipsis heavy
+        (5, "000 111 222 333 444 555"),  # no alpha words, no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_gopher_flags(df).collect()}
+    assert got[1]["gopher_pass"]
+    assert got[2]["symbol_word_ratio"] > 0.1 and not got[2]["gopher_pass"]
+    assert got[3]["bullet_line_frac"] == 1.0 and not got[3]["gopher_pass"]
+    assert got[4]["ellipsis_line_frac"] > 0.3 and not got[4]["gopher_pass"]
+    assert got[5]["alpha_word_frac"] == 0.0 and got[5]["stop_distinct"] == 0
+    assert not got[5]["gopher_pass"]

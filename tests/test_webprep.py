@@ -295,3 +295,23 @@ def test_drop_duplicated_paragraphs(spark):
     assert out[1]["clean"] == "Own intro one\n\nown body 1"
     assert out[2]["clean"] == "own body 2"
     assert out[1]["n_lines_dropped"] == 1 and out[3]["n_lines_dropped"] == 0
+
+
+def test_c4_line_filter(spark):
+    from ocr_obsidian_spark.operators.webprep import c4_line_filter
+
+    rows = [
+        (1, "A good sentence ends with a period.\nno terminal punct here\n"
+            "Too short.\nEnable javascript to continue.\n"
+            "Ends with a quote, so it stays \"fine.\"\nif (x) { return; }"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_filter(df, out_col="clean").collect()}
+    kept = out[1]["clean"].split("\n")
+    assert kept == [
+        "A good sentence ends with a period.",
+        'Ends with a quote, so it stays "fine."',
+    ]
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_dropped"] == 4
+    assert out[2]["clean"] == "" and out[2]["n_lines_kept"] == 0
