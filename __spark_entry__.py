@@ -763,8 +763,10 @@ def _noisy_url(base_id: F.Column) -> F.Column:
 
 def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Canonical-URL dedup: ids are paired onto the same base url with
-    DIFFERENT noise variants — the pair must collapse to one kept doc
-    (lowest id) after canonicalization."""
+    DIFFERENT noise variants. The gclid/clean pairs (half of them)
+    canonicalize identically and must collapse to the lowest id; the
+    utm/slash pairs keep their REAL query params (a=1&b=2) and must NOT
+    collapse — 500 docs → 375 kept."""
     from ocr_obsidian_spark.operators.webprep import drop_url_duplicates
 
     d = _t(spark, sf, "documents")
@@ -1816,7 +1818,7 @@ def oracle_sql() -> dict[str, str]:
                     AND stop_distinct >= 2) AS gopher_pass
             FROM r
         """,
-        "c4_filter": """
+        "c4_filter": ("""
             WITH inj AS (
                 SELECT doc_id,
                        coalesce(text, '') || chr(10) || 'short one'
@@ -1829,7 +1831,8 @@ def oracle_sql() -> dict[str, str]:
             k AS (SELECT doc_id, lines,
                          list_filter(lines, x ->
                              regexp_matches(lower(trim(x)), '[.!?]["'')\\]]*$')
-                             AND len(string_split(lower(trim(x)), ' ')) >= 3
+                             AND len(string_split_regex(lower(trim(x)),
+                                 '""" + _WS_RE + """')) >= 3
                              AND NOT contains(lower(trim(x)), 'javascript')
                              AND NOT contains(lower(trim(x)), 'lorem ipsum')
                              AND NOT contains(lower(trim(x)), '{')) AS kept
@@ -1839,7 +1842,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(kept) AS BIGINT) AS n_lines_kept,
                    CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped
             FROM k
-        """,
+        """),
         "paragraph_dedup": """
             WITH inj AS (
                 SELECT doc_id,

@@ -191,9 +191,10 @@ _SCRIPT_RANGES = {
 
 
 def with_script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Unicode-script composition signals: per-document fraction of
-    letters from each major script (latin / cyrillic / arabic / CJK) and
-    the dominant script (``und`` when none hit) — the cheap script-ID
+    """Unicode-script composition signals: per-document fraction of ALL
+    characters (spaces/digits/punctuation included in the denominator)
+    that belong to each major script (latin / cyrillic / arabic / CJK),
+    and the dominant script (``und`` when none hit) — the cheap script-ID
     gate a crawl pipeline applies before (or as a sanity check on)
     model-based language ID, and the standard mixed-script spam signal.
 

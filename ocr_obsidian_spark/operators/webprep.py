@@ -150,11 +150,15 @@ def c4_line_filter(
             lines, lambda l: F.struct(l.alias("raw"), F.lower(F.trim(l)).alias("n"))
         ),
     )
+    from .xengine import WS_RE
+
     def keep(x):  # noqa: ANN001 - Column struct
         n = x["n"]
         return (
             n.rlike("""[.!?]["')\\]]*$""")
-            & (F.size(F.split(n, " ")) >= int(min_words))
+            # split on whitespace RUNS — a double space must not make a
+            # 2-word line count as 3
+            & (F.size(F.split(n, WS_RE)) >= int(min_words))
             & ~n.contains("javascript")
             & ~n.contains("lorem ipsum")
             & ~n.contains("{")
@@ -181,18 +185,48 @@ def filter_blocked_domains(
     """Drop documents whose host is a blocked domain OR any subdomain of
     one (``ads.example.com`` matches a blocked ``example.com``) — the
     crawl-pipeline blocklist gate (spam/adult/SEO-farm domain lists).
+    Case-insensitive; NULL/schemeless urls have no host and are KEPT.
 
-    The blocklist compiles into the filter expression (map-only, no
-    join) — right for the typical 10³–10⁵-entry curated lists; beyond
-    that, switch to a broadcast anti-join on the reversed-domain prefix.
-    Case-insensitive (hosts are; the match uses the lowercased domain).
+    Two physical shapes, picked by list size:
+      * small lists compile into the filter expression (map-only);
+      * large lists (the typical 10³–10⁵-entry curated blocklist) would
+        build a Catalyst-killing O(n)-deep Or tree, so the host explodes
+        into its dot-suffixes (``ads.example.com`` → itself,
+        ``example.com``, ``com`` — bounded depth) and a broadcast
+        left-anti join against the blocklist does the match: the corpus
+        never shuffles, the list broadcasts once.
     """
-    dom = extract_domain(url_col)
-    hit = F.lit(False)
-    for b in blocked:
-        bl = b.lower()
-        hit = hit | (dom == bl) | dom.endswith("." + bl)
-    return df.filter(~hit)
+    dom = F.coalesce(extract_domain(url_col), F.lit(""))
+    if len(blocked) <= 64:
+        hit = F.lit(False)
+        for b in blocked:
+            bl = b.lower()
+            hit = hit | (dom == bl) | dom.endswith("." + bl)
+        return df.filter(~hit)
+
+    spark = df.sparkSession
+    bl_df = F.broadcast(
+        spark.createDataFrame(
+            [(b.lower(),) for b in set(blocked)], "_blocked string"
+        )
+    )
+    parts = F.split(dom, "\\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(parts) - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(parts, i + 1, F.size(parts) - i), "."),
+    )
+    # _rid is generated and consumed inside this one plan — safe use of
+    # monotonically_increasing_id (never persisted, never compared across
+    # evaluations)
+    tagged = df.withColumn("_rid", F.monotonically_increasing_id())
+    hits = (
+        tagged.select("_rid", F.explode(suffixes).alias("_one"))
+        .join(bl_df, F.col("_one") == F.col("_blocked"), "left_semi")
+        .select("_rid")
+        .distinct()
+    )
+    # hits is the (small) blocked subset — AQE broadcasts the anti-join
+    return tagged.join(hits, "_rid", "left_anti").drop("_rid")
 
 
 def drop_url_duplicates(
@@ -207,14 +241,22 @@ def drop_url_duplicates(
     One shuffle on the canonical url; Spark inserts a map-side
     WindowGroupLimit so only one row per url per partition reaches the
     exchange. Deterministic (id order), reproducible at any parallelism.
+
+    Documents with a NULL/empty url (canonical key '') are ALL kept —
+    they aren't duplicates of each other, and routing them through the
+    window would both drop them and funnel every keyless row into one
+    skewed task.
     """
     canon = canonicalize_url(df, url_col=url_col, out_col="_canon")
+    keyless = canon.filter(F.col("_canon") == "").drop("_canon")
+    keyed = canon.filter(F.col("_canon") != "")
     w = Window.partitionBy("_canon").orderBy(id_col)
-    return (
-        canon.withColumn("_rn", F.row_number().over(w))
+    deduped = (
+        keyed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_canon")
     )
+    return deduped.unionByName(keyless)
 
 
 def mix_corpus(
@@ -370,11 +412,15 @@ def drop_duplicated_lines(
          sorted in-task, concat_ws'd; no window, no global sort.
     Blank lines are structural, never dedup candidates.
     """
+    import re as _re
+
     out = out_col or text_col
     lines = df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            # F.split takes a regex but the rejoin uses sep literally —
+            # escape so any separator (e.g. '|', '. ') means itself
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
         ).alias("_pos", "_line"),
     ).withColumn("_norm", F.lower(F.trim(F.col("_line"))))
     boiler = (

@@ -315,3 +315,64 @@ def test_c4_line_filter(spark):
     ]
     assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_dropped"] == 4
     assert out[2]["clean"] == "" and out[2]["n_lines_kept"] == 0
+
+
+def test_drop_url_duplicates_keeps_keyless_rows(spark):
+    from ocr_obsidian_spark.operators.webprep import drop_url_duplicates
+
+    rows = [
+        (1, "https://example.com/a"),
+        (2, "https://example.com/a/"),  # dup of 1
+        (3, None),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(r["doc_id"] for r in drop_url_duplicates(df).collect())
+    # all keyless (null/empty url) rows survive; only the real dup drops
+    assert kept == [1, 3, 4, 5]
+
+
+def test_filter_blocked_domains_large_list_and_null(spark):
+    from ocr_obsidian_spark.operators.webprep import filter_blocked_domains
+
+    rows = [
+        (1, "https://example.com/x"),
+        (2, "https://ads.example.com/x"),
+        (3, "https://clean.org/z"),
+        (4, None),  # no host → kept, not NULL-dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    # pad the blocklist past the expression-path threshold to force the
+    # suffix-explode broadcast-join path
+    big = ["example.com"] + [f"junk{i}.test" for i in range(100)]
+    kept = sorted(r["doc_id"] for r in filter_blocked_domains(df, big).collect())
+    assert kept == [3, 4]
+    # both paths agree
+    small = sorted(
+        r["doc_id"] for r in filter_blocked_domains(df, ["example.com"]).collect()
+    )
+    assert small == kept
+
+
+def test_drop_duplicated_lines_metachar_sep(spark):
+    from ocr_obsidian_spark.operators.webprep import drop_duplicated_lines
+
+    rows = [(1, "shared|own one"), (2, "shared|own two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean"]
+        for r in drop_duplicated_lines(df, min_docs=2, out_col="clean", sep="|").collect()
+    }
+    # '|' must mean a literal pipe, not regex alternation
+    assert out == {1: "own one", 2: "own two"}
+
+
+def test_c4_word_count_whitespace_runs(spark):
+    from ocr_obsidian_spark.operators.webprep import c4_line_filter
+
+    rows = [(1, "Go  on.\nThis one   truly  has five words.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    [r] = c4_line_filter(df, out_col="clean", min_words=3).collect()
+    # 'Go  on.' is 2 words despite the double space → dropped
+    assert r["clean"] == "This one   truly  has five words."
