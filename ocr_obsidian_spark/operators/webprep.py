@@ -248,15 +248,20 @@ def drop_url_duplicates(
     skewed task.
     """
     canon = canonicalize_url(df, url_col=url_col, out_col="_canon")
-    keyless = canon.filter(F.col("_canon") == "").drop("_canon")
-    keyed = canon.filter(F.col("_canon") != "")
-    w = Window.partitionBy("_canon").orderBy(id_col)
-    deduped = (
-        keyed.withColumn("_rn", F.row_number().over(w))
+    # keyless rows get a UNIQUE synthetic partition key (\x00 prefix — no
+    # canonicalized url starts with a NUL) so one window pass keeps them
+    # all, with no second scan (a filter+union re-reads the source) and
+    # no skewed all-keyless partition
+    key = F.when(
+        F.col("_canon") == "",
+        F.concat(F.lit("\x00"), F.col(id_col).cast("string")),
+    ).otherwise(F.col("_canon"))
+    w = Window.partitionBy(key).orderBy(id_col)
+    return (
+        canon.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_canon")
     )
-    return deduped.unionByName(keyless)
 
 
 def mix_corpus(
