@@ -141,3 +141,31 @@ def test_html_blocks_map_only_and_extract_single_shuffle(spark):
     p = plan_str(e.q_html_extract(spark, SF), mode="simple")
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
+
+
+def test_webtext_suite_plan_shapes(spark):
+    """The scale claims of the round-3 webtext operators, pinned: the
+    per-row feature/filter ops never shuffle; packing and url-dedup are
+    exactly one hash exchange over a single source scan; the cross-doc
+    dedups are the documented 3-exchange self-join shape."""
+    import re
+
+    import __spark_entry__ as e
+
+    def counts(q):
+        p = e.queries()[q](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        return (
+            len(re.findall(r"Exchange hashpartitioning", p)),
+            len(re.findall(r"Scan parquet|FileScan", p)),
+        )
+
+    for q in ["script_mix", "gopher_flags", "c4_filter", "url_canon",
+              "mix_corpus", "blocklist"]:
+        ex, _ = counts(q)
+        assert ex == 0, q
+    for q in ["pack_shards", "url_dedup"]:
+        ex, scans = counts(q)
+        assert ex == 1 and scans == 1, q
+    for q in ["line_dedup", "paragraph_dedup"]:
+        ex, _ = counts(q)
+        assert ex == 3, q
