@@ -1707,7 +1707,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": f"""
             WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
             SELECT doc_id FROM u
-            WHERE ('0x' || substr(md5(url), 1, 8))::BIGINT % 100 < 37
+            WHERE ('0x' || substr(md5(coalesce(url, '')), 1, 8))::BIGINT % 100 < 37
         """,
         "decontaminate": f"""
             WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
@@ -1890,7 +1890,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_corpus": f"""
             WITH u AS (SELECT doc_id, source, {_URL_SQL} AS url FROM documents)
             SELECT doc_id, source FROM u
-            WHERE ('0x' || substr(md5(url), 1, 8))::BIGINT % 10000 <
+            WHERE ('0x' || substr(md5(coalesce(url, '')), 1, 8))::BIGINT % 10000 <
                   CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
                               WHEN 'src2' THEN 2500 WHEN 'src3' THEN 500
                               ELSE 0 END
@@ -1902,7 +1902,7 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT doc_id,
                          CASE WHEN length(norm) = 0 THEN 0
                               ELSE len(string_split(norm, ' ')) END AS n_tok,
-                         ('0x' || substr(md5(url), 1, 8))::BIGINT % 8
+                         ('0x' || substr(md5(coalesce(url, '')), 1, 8))::BIGINT % 8
                              AS shard_group
                   FROM u),
             w AS (SELECT doc_id, shard_group, n_tok,

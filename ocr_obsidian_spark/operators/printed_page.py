@@ -68,12 +68,11 @@ def apply_printed_page_mode(
     driver; size to your driver memory)."""
     nulls = roman_null_set(corpus, cfg).withColumn("_null_roman", F.lit(True))
     if broadcast_nulls is None:
-        from pyspark import StorageLevel
-
-        # persist so the sizing count and the join share one computation of
-        # the window (the set is sparse by construction; the adversarial
-        # huge case spills to disk rather than recomputing)
-        nulls = nulls.persist(StorageLevel.MEMORY_AND_DISK)
+        # count an UNPERSISTED plan: the join recomputes the narrow window
+        # once more, which is cheaper than it sounds (five thin columns)
+        # and leak-free — a persist() here would stay cached for the
+        # session lifetime, since this function never sees the caller's
+        # first action and so has nowhere safe to unpersist
         broadcast_nulls = nulls.count() <= max_broadcast_nulls
     if broadcast_nulls:
         nulls = F.broadcast(nulls)

@@ -194,7 +194,10 @@ def _ivf_assign_udf(centroids: list[list[float]], n_probe: int):
 
     Uses the expanded form  argmin_c ||x-c||^2 = argmin_c (||c||^2 - 2 x.c)
     (the ||x||^2 term is constant per row). Ties break on the lowest cell
-    id, matching both numpy argmin and the expression path's when-chain.
+    id on EVERY path: n_probe=1 via argmin (first minimum), n_probe>1 via a
+    stable argsort over the distances (equal distances keep index order) —
+    matching the expression path's (distance, cell) struct sort, so the two
+    quantizers stay bit-reproducible even with duplicate centroids.
     """
     cents = np.asarray(centroids, dtype=np.float64)  # (K, D)
     cnorm = (cents * cents).sum(axis=1)  # (K,)
@@ -212,11 +215,12 @@ def _ivf_assign_udf(centroids: list[list[float]], n_probe: int):
             if n_probe == 1:
                 out[lo : lo + chunk, 0] = np.argmin(d2, axis=1)
             else:
-                part = np.argpartition(d2, n_probe - 1, axis=1)[:, :n_probe]
-                order = np.take_along_axis(d2, part, axis=1).argsort(
-                    axis=1, kind="stable"
-                )
-                out[lo : lo + chunk] = np.take_along_axis(part, order, axis=1)
+                # stable full argsort, NOT argpartition: partition order
+                # among exactly-equal distances is arbitrary, which would
+                # break tie reproducibility vs the expression path
+                out[lo : lo + chunk] = np.argsort(d2, axis=1, kind="stable")[
+                    :, :n_probe
+                ]
         return pd.Series(list(out), dtype=object)
 
     return probe_cells

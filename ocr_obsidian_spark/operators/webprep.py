@@ -190,11 +190,16 @@ def filter_blocked_domains(
     Two physical shapes, picked by list size:
       * small lists compile into the filter expression (map-only);
       * large lists (the typical 10³–10⁵-entry curated blocklist) would
-        build a Catalyst-killing O(n)-deep Or tree, so the host explodes
-        into its dot-suffixes (``ads.example.com`` → itself,
-        ``example.com``, ``com`` — bounded depth) and a broadcast
-        left-anti join against the blocklist does the match: the corpus
-        never shuffles, the list broadcasts once.
+        build a Catalyst-killing O(n)-deep Or tree, so the DISTINCT hosts
+        of the corpus (a narrow shuffle of short strings) explode into
+        their dot-suffixes (``ads.example.com`` → itself, ``example.com``,
+        ``com`` — bounded depth) and semi-join the broadcast blocklist;
+        the corpus then anti-joins the surviving blocked-host set ON THE
+        HOST ITSELF. Blocked-ness is a pure function of the host, so the
+        join key is content-derived — no synthetic row ids whose values
+        could differ between the two plan branches on recomputation — and
+        the blocked-host set is small (blocklist ∩ corpus), so AQE
+        broadcasts the anti-join and the corpus never shuffles.
     """
     dom = F.coalesce(extract_domain(url_col), F.lit(""))
     if len(blocked) <= 64:
@@ -210,23 +215,21 @@ def filter_blocked_domains(
             [(b.lower(),) for b in set(blocked)], "_blocked string"
         )
     )
-    parts = F.split(dom, "\\.")
+    tagged = df.withColumn("_dom", dom)
+    parts = F.split(F.col("_dom"), "\\.")
     suffixes = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(parts) - 1, F.lit(0))),
         lambda i: F.array_join(F.slice(parts, i + 1, F.size(parts) - i), "."),
     )
-    # _rid is generated and consumed inside this one plan — safe use of
-    # monotonically_increasing_id (never persisted, never compared across
-    # evaluations)
-    tagged = df.withColumn("_rid", F.monotonically_increasing_id())
-    hits = (
-        tagged.select("_rid", F.explode(suffixes).alias("_one"))
+    blocked_doms = (
+        tagged.select("_dom")
+        .distinct()
+        .select(F.col("_dom"), F.explode(suffixes).alias("_one"))
         .join(bl_df, F.col("_one") == F.col("_blocked"), "left_semi")
-        .select("_rid")
+        .select("_dom")
         .distinct()
     )
-    # hits is the (small) blocked subset — AQE broadcasts the anti-join
-    return tagged.join(hits, "_rid", "left_anti").drop("_rid")
+    return tagged.join(blocked_doms, "_dom", "left_anti").drop("_dom")
 
 
 def drop_url_duplicates(

@@ -25,7 +25,15 @@ WS_RE = WS_CLASS + "+"
 def md5_bucket(key: str | Column, buckets: int) -> Column:
     """Bucket in [0, buckets): first 32 md5 bits of the key, mod buckets.
 
-    DuckDB twin: ``('0x' || substr(md5(key), 1, 8))::BIGINT % buckets``.
+    NULL keys coalesce to ``''`` (empty and NULL keys share a bucket), so
+    keyless rows get a real bucket instead of a NULL that silently fails
+    every ``< thresh`` filter — hash_sample / mix_corpus keep-or-drop them
+    as one deterministic group and pack_shards gives them a real
+    shard_group, consistent with drop_url_duplicates keeping keyless rows.
+
+    DuckDB twin: ``('0x' || substr(md5(coalesce(key, '')), 1, 8))::BIGINT
+    % buckets``.
     """
     col = F.col(key) if isinstance(key, str) else key
+    col = F.coalesce(col.cast("string"), F.lit(""))
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % buckets
