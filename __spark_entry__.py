@@ -1807,7 +1807,8 @@ def oracle_sql() -> dict[str, str]:
                          len(list_filter(toks,
                              t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
                          len(list_intersect(list_distinct(toks),
-                             ['the','and','of','to','is','that'])) AS sd
+                             ['the','be','to','of','and','that','have','with']))
+                             AS sd
                   FROM f),
             r AS (SELECT doc_id,
                          round((n_hash + n_dots + n_uni) / n_words, 6)

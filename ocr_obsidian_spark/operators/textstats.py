@@ -23,6 +23,11 @@ _LANG_MARKERS = {
 
 _STOPWORDS = _LANG_MARKERS["en"] + ["a", "in", "it", "for", "on", "with"]
 
+# the published Gopher stop-word rule (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", appendix A1.1): keep only documents containing at
+# least two of these eight English words
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
 
 def _norm(text_col: str) -> F.Column:
     # coalesce first: NULL text must behave like empty text, otherwise NULLs
@@ -120,6 +125,7 @@ def with_gopher_flags(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_distinct_stopwords: int = 2,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
 ) -> DataFrame:
     """The Gopher rule set beyond what's in with_quality_score /
     with_repetition_stats: symbol-to-word ratio (# and … spam),
@@ -127,6 +133,13 @@ def with_gopher_flags(
     containing a letter, distinct-stopword count — plus the conjunction
     as ``gopher_pass``. All per-row array/regexp expressions: map-only,
     zero shuffles, whole-stage codegen.
+
+    The stop-word gate defaults to the PUBLISHED Gopher rule (Rae et al.
+    2021 §A1.1): the document must contain ≥ ``min_distinct_stopwords``
+    (2) distinct words of the eight-word ``GOPHER_STOPWORDS`` set; both
+    the marker set and the threshold are parameters for per-deployment
+    variants (e.g. datatrove counts total occurrences instead — pass a
+    different threshold/set to approximate).
     """
     raw = F.coalesce(F.col(text_col), F.lit(""))
     staged = df.withColumn("_lines", F.split(raw, "\n")).withColumn(
@@ -158,7 +171,7 @@ def with_gopher_flags(
     stop_distinct = F.size(
         F.array_intersect(
             F.array_distinct(F.col("_toks")),
-            F.array(*[F.lit(s) for s in _LANG_MARKERS["en"]]),
+            F.array(*[F.lit(s) for s in stopwords]),
         )
     )
     out = (

@@ -193,3 +193,38 @@ def test_gopher_flags(spark):
     assert got[4]["ellipsis_line_frac"] > 0.3 and not got[4]["gopher_pass"]
     assert got[5]["alpha_word_frac"] == 0.0 and got[5]["stop_distinct"] == 0
     assert not got[5]["gopher_pass"]
+
+
+def test_gopher_stopword_rule_is_published_set(spark):
+    """Default marker set = the 8-word Gopher rule (Rae et al. 2021 A1.1),
+    counted as DISTINCT presence; set and threshold are parameters."""
+    from ocr_obsidian_spark.operators.textstats import (
+        GOPHER_STOPWORDS,
+        with_gopher_flags,
+    )
+
+    assert GOPHER_STOPWORDS == (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    )
+    rows = [
+        (1, "the the the the the cat"),  # 1 distinct stopword, many hits
+        (2, "be with someone nice"),  # exactly 2 distinct
+        (3, "the be to of and that have with all words once"),  # all 8
+        (4, "is it a in on for words only"),  # non-Gopher markers: zero
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_gopher_flags(df).collect()}
+    assert got[1]["stop_distinct"] == 1 and not got[1]["gopher_pass"]
+    assert got[2]["stop_distinct"] == 2
+    assert got[3]["stop_distinct"] == 8 and got[3]["gopher_pass"]
+    assert got[4]["stop_distinct"] == 0
+    # parametrized variant: custom set + threshold
+    custom = {
+        r["doc_id"]: r
+        for r in with_gopher_flags(
+            df, stopwords=("cat", "nice"), min_distinct_stopwords=1
+        ).collect()
+    }
+    assert custom[1]["stop_distinct"] == 1
+    assert custom[2]["stop_distinct"] == 1
+    assert custom[3]["stop_distinct"] == 0
