@@ -725,6 +725,42 @@ def q_url_canon(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# rotating internationalized-host fixtures for q_url_canon_idn; the
+# expected punycode forms are derived at oracle-build time from the
+# python stdlib `idna` codec (an independent implementation of IDNA
+# ToASCII) and embedded as literals — same precedent as the lsh_ann
+# hyperplane literals
+_IDN_FIXTURE_HOSTS = [
+    "BÜCHER.example",  # latin-1 + uppercase: lower() must run before ToASCII
+    "münchen.de",
+    "пример.испытание",  # cyrillic host AND cyrillic TLD
+    "日本語.example",
+    "plain-ascii.test",  # ascii fast path: must pass through untouched
+]
+
+
+def q_url_canon_idn(spark: SparkSession, sf: str) -> DataFrame:
+    """IDN-aware canonicalization (idn=True): rotating unicode hosts with
+    a default port and a lowercase-hex unreserved escape in the path, so
+    the query pins the expression chain + punycode-UDF composition."""
+    from ocr_obsidian_spark.operators.webprep import canonicalize_url
+
+    d = _t(spark, sf, "documents")
+    host = F.lit(_IDN_FIXTURE_HOSTS[-1])
+    for i, h in enumerate(_IDN_FIXTURE_HOSTS[:-1]):
+        host = F.when(F.col("doc_id") % 5 == i, F.lit(h)).otherwise(host)
+    noisy = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), host, F.lit(":443/x%7ey/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return canonicalize_url(noisy, out_col="canon_url", idn=True).select(
+        "doc_id", "canon_url"
+    )
+
+
 def q_mix_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted per-source corpus mixing (keep fractions per source,
     md5-bucket deterministic)."""
@@ -740,9 +776,10 @@ def q_mix_corpus(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _noisy_url(base_id: F.Column) -> F.Column:
-    """Deterministically 'dirtied' url for a given id expression — four
+    """Deterministically 'dirtied' url for a given id expression — six
     rotating noise variants (tracking params + fragment, trailing slash,
-    gclid-only query, clean) on an uppercased host with a default port.
+    gclid-only query, clean, lowercase-hex percent escapes of unreserved
+    chars, their decoded twin) on an uppercased host with a default port.
     Shared by q_url_canon (id = doc_id, all distinct) and q_url_dedup
     (id = doc_id // 2, so noise-variant pairs collide after
     canonicalization)."""
@@ -754,19 +791,25 @@ def _noisy_url(base_id: F.Column) -> F.Column:
         (base_id % 7).cast("string"),
         F.lit(".Test:443/Doc/"),
         bid,
-        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=x&b=2&a=1#top"))
-        .when(F.col("doc_id") % 4 == 1, F.lit("/"))
-        .when(F.col("doc_id") % 4 == 2, F.lit("?gclid=abc"))
-        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("?utm_source=x&b=2&a=1#top"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("/"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("?gclid=abc"))
+        .when(F.col("doc_id") % 6 == 3, F.lit(""))
+        # %7e → ~, %31 → 1 (unreserved: decoded); %2f is '/' (reserved:
+        # hex case normalized only) — variant 5 is the decoded twin, so
+        # the (4,5) pair must collide after canonicalization
+        .when(F.col("doc_id") % 6 == 4, F.lit("/%7eu%31%2fv"))
+        .otherwise(F.lit("/~u1%2Fv")),
     )
 
 
 def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Canonical-URL dedup: ids are paired onto the same base url with
-    DIFFERENT noise variants. The gclid/clean pairs (half of them)
-    canonicalize identically and must collapse to the lowest id; the
-    utm/slash pairs keep their REAL query params (a=1&b=2) and must NOT
-    collapse — 500 docs → 375 kept."""
+    DIFFERENT noise variants. The gclid/clean pairs and the
+    percent-escape/decoded-twin pairs (two thirds of them) canonicalize
+    identically and must collapse to the lowest id; the utm/slash pairs
+    keep their REAL query params (a=1&b=2) and must NOT collapse —
+    500 docs → 334 kept."""
     from ocr_obsidian_spark.operators.webprep import drop_url_duplicates
 
     d = _t(spark, sf, "documents")
@@ -1052,7 +1095,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_join": q_theta_join,
         "asof_join": q_asof_join,
         "regex_filter": q_regex_filter,
-        "text_metrics": q_text_metrics,
         "token_counts": q_token_counts,
         "quality_stats": q_quality_stats,
         "lang_id": q_lang_id,
@@ -1084,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_blocks": q_html_blocks,
         "html_extract": q_html_extract,
         "url_canon": q_url_canon,
+        "url_canon_idn": q_url_canon_idn,
         "mix_corpus": q_mix_corpus,
         "pack_shards": q_pack_shards,
         "url_dedup": q_url_dedup,
@@ -1103,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_limit": q_sorted_limit,
         "window_slice": q_window_slice,
         "latest_per_key": q_latest_per_key,
+        "text_metrics": q_text_metrics,
     }
 
 
@@ -1255,17 +1299,63 @@ def _noisy_url_sql(bid: str) -> str:
     return f"""'HTTPS://' || upper(source) || '-'
                        || CAST({bid} % 7 AS VARCHAR) || '.Test:443/Doc/'
                        || CAST({bid} AS VARCHAR)
-                       || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1#top'
-                               WHEN doc_id % 4 = 1 THEN '/'
-                               WHEN doc_id % 4 = 2 THEN '?gclid=abc'
-                               ELSE '' END"""
+                       || CASE WHEN doc_id % 6 = 0 THEN '?utm_source=x&b=2&a=1#top'
+                               WHEN doc_id % 6 = 1 THEN '/'
+                               WHEN doc_id % 6 = 2 THEN '?gclid=abc'
+                               WHEN doc_id % 6 = 3 THEN ''
+                               WHEN doc_id % 6 = 4 THEN '/%7eu%31%2fv'
+                               ELSE '/~u1%2Fv' END"""
+
+
+def _url_canon_idn_sql() -> str:
+    """Oracle for q_url_canon_idn: expected punycode hosts derived from
+    the stdlib ``idna`` codec at build time and embedded as literals; the
+    rest of the canonicalization (lowercase, :443 strip, %7e → ~) is
+    stated directly in the expected strings."""
+    whens = []
+    for i, h in enumerate(_IDN_FIXTURE_HOSTS):
+        low = h.lower()
+        try:
+            puny = low.encode("idna").decode("ascii")
+        except UnicodeError:  # pragma: no cover - fixtures all encode
+            puny = low
+        whens.append(
+            f"WHEN doc_id % 5 = {i} THEN '{puny}'"
+            if i < len(_IDN_FIXTURE_HOSTS) - 1
+            else f"ELSE '{puny}'"
+        )
+    case = " ".join(whens)
+    return f"""
+        SELECT doc_id,
+               'https://' || CASE {case} END
+                          || '/x~y/' || CAST(doc_id AS VARCHAR) AS canon_url
+        FROM documents
+    """
+
+
+def _pct_norm_sql(expr: str) -> str:
+    """DuckDB twin of webprep._pct_normalize: the same 12 hex-case regex
+    passes (RE2 backref spelled \\1 where Java uses $1 — patterns stay in
+    the common subset, only the replacement syntax differs) and the same
+    66 unreserved-escape literal replaces, generated from the ONE
+    _UNRESERVED_ESCAPES table so the two engines can't drift."""
+    from ocr_obsidian_spark.operators.webprep import _UNRESERVED_ESCAPES
+
+    for h in "abcdef":
+        expr = f"regexp_replace({expr}, '%{h}([0-9a-fA-F])', '%{h.upper()}\\1', 'g')"
+    for h in "abcdef":
+        expr = f"regexp_replace({expr}, '%([0-9A-F]){h}', '%\\1{h.upper()}', 'g')"
+    for esc, ch in _UNRESERVED_ESCAPES.items():
+        expr = f"replace({expr}, '{esc}', '{ch}')"
+    return expr
 
 
 # canonicalization CTE chain (expects a prior CTE u(doc_id, url));
 # terminates in canon(doc_id, canon_url). DuckDB twin of
 # webprep.canonicalize_url — kept in ONE place for url_canon + url_dedup.
-_CANON_STEPS_SQL = """
-            s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
+_CANON_STEPS_SQL = f"""
+            s0 AS (SELECT doc_id, {_pct_norm_sql('url')} AS url FROM u),
+            s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM s0),
             s2 AS (SELECT doc_id,
                           regexp_extract(u, '\\?(.*)$', 1) AS q,
                           regexp_replace(u, '\\?.*$', '') AS base
@@ -1759,6 +1849,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "html_blocks": _html_oracle_sql(extract=False),
         "html_extract": _html_oracle_sql(extract=True),
+        "url_canon_idn": _url_canon_idn_sql(),
         "url_canon": "WITH u AS (SELECT doc_id, "
         + _noisy_url_sql("doc_id")
         + " AS url FROM documents), "

@@ -81,23 +81,113 @@ SCHEME_HOST_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
 # query params dropped at canonicalization time (analytics/click noise)
 TRACKING_PARAM_RE = "^(?:utm_[^=&]*|gclid|fbclid|msclkid|ref)(?:=.*)?$"
 
+# RFC 3986 §2.3 unreserved characters, keyed by their (uppercase-hex)
+# percent-escape — escapes of these decode at canonicalization time
+# (§6.2.2.2); every other escape only has its hex case normalized
+_UNRESERVED_ESCAPES: dict[str, str] = {
+    "%%%02X" % ord(c): c
+    for c in (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "abcdefghijklmnopqrstuvwxyz"
+        "0123456789-._~"
+    )
+}
+
+
+def _pct_normalize(col: F.Column) -> F.Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization as a pure expression
+    chain: uppercase the hex digits of every escape (%3a → %3A — two
+    regexp passes per hex letter with a $1 backref, patterns in the
+    Java∩RE2 subset), then decode escapes of the 66 unreserved characters
+    (%7E → ~, %41 → A — literal replaces). Decoding an unreserved escape
+    never produces '%', so the chain can't double-decode; '%25' stays
+    escaped. Map-only, whole-stage codegen, idempotent."""
+    for h in "abcdef":
+        col = F.regexp_replace(col, "%" + h + "([0-9a-fA-F])", "%" + h.upper() + "$1")
+    for h in "abcdef":
+        col = F.regexp_replace(col, "%([0-9A-F])" + h, "%$1" + h.upper())
+    for esc, ch in _UNRESERVED_ESCAPES.items():
+        col = F.replace(col, F.lit(esc), F.lit(ch))
+    return col
+
+
+def _idn_hosts(urls: pd.Series) -> pd.Series:
+    """Punycode non-ASCII hosts (IDNA ToASCII via the stdlib ``idna``
+    codec) in already-canonicalized urls. ASCII hosts, schemeless strings
+    and userinfo authorities pass through; hosts the codec rejects (empty
+    labels, overlong) pass through unchanged — fail-soft like the rest of
+    the url chain. Port suffixes are preserved."""
+    import re
+
+    host_re = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]*)(.*)$", re.DOTALL)
+
+    def fix(u: str | None) -> str | None:
+        if u is None:
+            return None
+        m = host_re.match(u)
+        if not m:
+            return u
+        scheme, auth, rest = m.groups()
+        if "@" in auth:
+            return u  # userinfo is case/encoding-sensitive: untouched
+        try:
+            auth.encode("ascii")
+            return u
+        except UnicodeEncodeError:
+            pass
+        host, sep, port = auth.rpartition(":")
+        if not sep or not port.isdigit():
+            host, port = auth, ""
+        else:
+            port = ":" + port
+        try:
+            enc = host.encode("idna").decode("ascii")
+        except UnicodeError:
+            return u
+        return scheme + enc + port + rest
+
+    return urls.map(fix)
+
+
+_idn_hosts_udf = None  # built lazily: F.pandas_udf at import slows cold start
+
+
+def _get_idn_udf():
+    global _idn_hosts_udf
+    if _idn_hosts_udf is None:
+        _idn_hosts_udf = F.pandas_udf(_idn_hosts, T.StringType())
+    return _idn_hosts_udf
+
 
 def canonicalize_url(
-    df: DataFrame, *, url_col: str = "url", out_col: str | None = None
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    out_col: str | None = None,
+    idn: bool = False,
 ) -> DataFrame:
     """Canonicalize urls so URL-level dedup keys agree across crawls:
-    drop the fragment, lowercase scheme://host (never the path — paths
-    are case-sensitive), strip default ports (:80 http, :443 https) and
-    trailing slashes, remove tracking params, sort the surviving query
-    params bytewise.
+    normalize percent-encoding (uppercase escape hex, decode unreserved
+    escapes — RFC 3986 §6.2.2), drop the fragment, lowercase
+    scheme://host (never the path — paths are case-sensitive), strip
+    default ports (:80 http, :443 https) and trailing slashes, remove
+    tracking params, sort the surviving query params bytewise.
 
     Map-only expression chain (zero shuffles); every regex is in the
     Java∩RE2 common subset so the driver oracle replays it in DuckDB.
     Schemeless strings pass through with only fragment/query/slash
     handling (nothing to lowercase). Authorities carrying userinfo
     (``user:pass@host``) are left untouched — userinfo is case-sensitive
-    per RFC 3986, so lowercasing would collapse distinct resources."""
-    u0 = F.coalesce(F.col(url_col), F.lit(""))
+    per RFC 3986, so lowercasing would collapse distinct resources.
+
+    ``idn=True`` additionally punycodes non-ASCII hosts (IDNA ToASCII) so
+    ``bücher.example`` and ``xn--bcher-kva.example`` share a dedup key.
+    Spark has no builtin punycode, so this one stage is an Arrow-batched
+    pandas UDF (the documented vectorized-UDF exception class, like
+    unicode NFC) applied after the expression chain — still map-only; the
+    default keeps the operator pure codegen for the ASCII-host fast
+    path."""
+    u0 = _pct_normalize(F.coalesce(F.col(url_col), F.lit("")))
     u = F.regexp_replace(u0, "#.*$", "")
     query = F.regexp_extract(u, "\\?(.*)$", 1)
     base = F.regexp_replace(u, "\\?.*$", "")
@@ -122,6 +212,8 @@ def canonicalize_url(
         path,
         F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
     )
+    if idn:
+        out = _get_idn_udf()(out)
     return df.withColumn(out_col or url_col, out)
 
 
