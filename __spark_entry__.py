@@ -314,6 +314,22 @@ def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_subword_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocab-driven greedy longest-match WordPiece over the fixture
+    vocabulary: the exact piece sequence (joined with '|') plus the count.
+    The oracle replays the same greedy matches with a DuckDB recursive
+    CTE over the SAME vocab literals, so the two engines must agree on
+    every piece boundary, not just the totals."""
+    from ocr_obsidian_spark.operators.tokenize import tokenize_wordpiece
+
+    d = _t(spark, sf, "documents", spread=True)
+    return tokenize_wordpiece(d).select(
+        "doc_id",
+        F.array_join("wordpiece_tokens", "|").alias("tokens_str"),
+        F.col("n_wordpiece_tokens"),
+    )
+
+
 def q_quality_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-scoring features (ratios rounded for FP-stable hashing)."""
     from ocr_obsidian_spark.operators.textstats import with_quality_score
@@ -1087,7 +1103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # adding a query, move one more trivial shape to the tail.
     return {
         "agg_bounds": q_agg_bounds,
-        "line_concat": q_line_concat,
         "topk_rank": q_topk_rank,
         "context_window": q_context_window,
         "mode_switch": q_mode_switch,
@@ -1096,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "regex_filter": q_regex_filter,
         "token_counts": q_token_counts,
+        "subword_tokens": q_subword_tokens,
         "quality_stats": q_quality_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1147,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_slice": q_window_slice,
         "latest_per_key": q_latest_per_key,
         "text_metrics": q_text_metrics,
+        "line_concat": q_line_concat,
     }
 
 
@@ -1305,6 +1322,67 @@ def _noisy_url_sql(bid: str) -> str:
                                WHEN doc_id % 6 = 3 THEN ''
                                WHEN doc_id % 6 = 4 THEN '/%7eu%31%2fv'
                                ELSE '/~u1%2Fv' END"""
+
+
+def _subword_tokens_sql() -> str:
+    """DuckDB twin of q_subword_tokens: a recursive CTE replays greedy
+    longest-match WordPiece — per (doc, word) the iteration carries a
+    cursor, the emitted-piece accumulator and the count; the longest
+    matching vocab piece at the cursor is list_max over the lengths whose
+    substring is in the (initial or continuation) vocab list, NULL → the
+    '[UNK]' single-character fallback. The vocab literals are generated
+    from the SAME python tuple the Spark UDF closes over."""
+    from ocr_obsidian_spark.operators.tokenize import WORDPIECE_FIXTURE_VOCAB
+
+    init = sorted({p for p in WORDPIECE_FIXTURE_VOCAB if not p.startswith("##")})
+    cont = sorted(
+        {p[2:] for p in WORDPIECE_FIXTURE_VOCAB if p.startswith("##") and len(p) > 2}
+    )
+
+    def lst(xs: list[str]) -> str:
+        return "[" + ", ".join("'" + x.replace("'", "''") + "'" for x in xs) + "]"
+
+    return f"""
+        WITH RECURSIVE
+        v AS (SELECT {lst(init)} AS vi, {lst(cont)} AS vc),
+        nrm AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+        words AS (SELECT doc_id, i AS wpos, toks[i] AS word
+                  FROM (SELECT doc_id, toks,
+                               unnest(generate_series(1, len(toks))) AS i
+                        FROM (SELECT doc_id, string_split(norm, ' ') AS toks
+                              FROM nrm))),
+        rec AS (
+            SELECT doc_id, wpos, word, 1 AS pos,
+                   CAST('' AS VARCHAR) AS acc, 0 AS cnt
+            FROM words
+          UNION ALL
+            SELECT doc_id, wpos, word,
+                   pos + coalesce(bl, 1),
+                   acc || CASE WHEN acc = '' THEN '' ELSE '|' END ||
+                       CASE WHEN bl IS NULL THEN '[UNK]'
+                            WHEN pos = 1 THEN substr(word, pos, bl)
+                            ELSE '##' || substr(word, pos, bl) END,
+                   cnt + 1
+            FROM (SELECT doc_id, wpos, word, pos, acc, cnt,
+                         list_max(list_filter(
+                             generate_series(1, len(word) - pos + 1),
+                             L -> CASE WHEN pos = 1
+                                  THEN list_contains(vi, substr(word, pos, L))
+                                  ELSE list_contains(vc, substr(word, pos, L))
+                                  END)) AS bl
+                  FROM rec, v
+                  WHERE pos <= len(word))
+        ),
+        fin AS (SELECT doc_id, wpos, acc, cnt FROM rec WHERE pos > len(word)),
+        agg AS (SELECT doc_id,
+                       string_agg(CASE WHEN acc <> '' THEN acc END,
+                                  '|' ORDER BY wpos) AS ts,
+                       sum(cnt) AS nt
+                FROM fin GROUP BY doc_id)
+        SELECT doc_id, coalesce(ts, '') AS tokens_str,
+               CAST(coalesce(nt, 0) AS BIGINT) AS n_wordpiece_tokens
+        FROM agg
+    """
 
 
 def _url_canon_idn_sql() -> str:
@@ -1629,6 +1707,7 @@ def oracle_sql() -> dict[str, str]:
                          6) AS pipe_ratio
             FROM documents
         """,
+        "subword_tokens": _subword_tokens_sql(),
         "token_counts": f"""
             SELECT doc_id,
                    CASE WHEN length(norm) = 0 THEN 0

@@ -135,19 +135,34 @@ def main() -> None:
         "html_blocks", "html_extract", "url_canon", "mix_corpus",
         "pack_shards", "url_dedup", "script_mix", "paragraph_dedup",
         "blocklist", "gopher_flags", "c4_filter",
+        # round 4: IDN canonicalization + real subword tokenizer
+        "url_canon_idn", "subword_tokens",
     ]
+    # Forcing function (bench definition, changed in round 4): .count()
+    # lets Catalyst prune every row-preserving projection — including
+    # Arrow-batched UDFs — so a map-only query (pii_scrub, url_canon,
+    # subword_tokens, ...) would "measure" a bare scan+count. Hashing all
+    # output columns into one aggregate forces full materialization of
+    # every result value while adding only one cheap JVM hash per row.
+    def force(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: summing 64-bit hashes overflows ANSI mode
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+        ).collect()[0]["n"]
+
     # "simhash" keeps benching the xxhash64 PRODUCTION fingerprint
     # (BASELINE.md definition); the driver contract's simhash query is its
     # md5 oracle twin — same vote logic, slower hash, oracled instead
     from ocr_obsidian_spark.operators.dedup import simhash64
 
     special = {
-        "simhash": lambda: simhash64(
-            entrymod._t(spark, SF_DIR, "documents", spread=True)
-        ).count()
+        "simhash": lambda: force(
+            simhash64(entrymod._t(spark, SF_DIR, "documents", spread=True))
+        )
     }
     for name in headliners:
-        fn = special.get(name) or (lambda f=qs[name]: f(spark, SF_DIR).count())
+        fn = special.get(name) or (lambda f=qs[name]: force(f(spark, SF_DIR)))
         timed(name, fn)
 
     total = round(sum(timings.values()), 3)

@@ -1,0 +1,128 @@
+"""Vocab-driven subword tokenization (greedy longest-match WordPiece).
+
+``with_token_counts`` (textstats.py) counts a cheap regex proxy; shard
+budgets and mixing ratios of a real training pipeline are denominated in
+TOKENIZER tokens, so this module adds the real thing: greedy
+longest-match WordPiece (the published inference-time algorithm of the
+BERT tokenizer — Devlin et al. 2018; Song et al. 2021 "Fast WordPiece
+Tokenization" describes the same greedy longest-match-first scheme) over
+a caller-supplied vocabulary.
+
+Semantics (chosen for cross-engine reproducibility, pinned by the
+``subword_tokens`` driver oracle — a DuckDB recursive CTE replaying the
+same matches over the same vocab):
+
+  * text is whitespace-normalized and lowercased EXACTLY like every
+    other textstats operator (xengine.WS_RE), then split on single
+    spaces; empty words contribute nothing;
+  * within a word, the longest vocab piece matching at the cursor wins;
+    non-initial positions match continuation pieces (``##``-prefixed in
+    the vocab, emitted with the ``##``);
+  * a position with NO match emits ``[UNK]`` and advances ONE character
+    (character fallback) instead of nuking the whole word — corpus
+    statistics stay smooth and the SQL twin stays simple; classic
+    BERT-style whole-word [UNK] is a trivial post-fold if a deployment
+    needs it.
+
+The tokenizer is an Arrow-batched pandas UDF (the documented
+vectorized-UDF exception class: per-position hash lookups have no
+builtin-expression form), map-only — zero shuffles. At 100 TB this is
+embarrassingly parallel and CPU-bound; the vocab rides to executors in
+the UDF closure once per worker (a real 30k-entry vocab is ~300 KB).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .textstats import _norm
+
+UNK_TOKEN = "[UNK]"
+
+# Checked-in fixture vocabulary: full single-character coverage for ascii
+# letters/digits (initial + continuation) so ascii words always tokenize
+# without [UNK], plus common English words, prefixes and suffix pieces so
+# the segmentation is linguistically non-trivial. Deployments pass their
+# own trained vocab; this one exists so tests and the driver oracle have
+# a stable, public, self-contained fixture.
+_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
+WORDPIECE_FIXTURE_VOCAB: tuple[str, ...] = tuple(
+    [
+        *(_CHARS),
+        *("##" + c for c in _CHARS),
+        *("##" + c for c in ".,!?;:'\"-()[]"),
+        *(".,!?;:'\"-()[]"),
+        # whole words (incl. the Gopher stop-word set)
+        "the", "be", "to", "of", "and", "that", "have", "with", "a", "in",
+        "it", "for", "on", "is", "was", "as", "at", "by", "an", "are",
+        "this", "from", "or", "not", "but", "his", "her", "they", "we",
+        "you", "all", "one", "two", "page", "book", "data", "time", "over",
+        "about", "while", "where", "when", "what", "which", "who", "how",
+        # prefixes (initial pieces)
+        "un", "re", "pre", "con", "com", "de", "dis", "en", "ex", "inter",
+        "sub", "trans", "per", "pro", "anti", "over", "under",
+        # continuation pieces (suffixes / common tails)
+        "##ing", "##ed", "##er", "##ers", "##est", "##ly", "##tion",
+        "##tions", "##ment", "##ments", "##ness", "##able", "##ible",
+        "##ous", "##ful", "##less", "##al", "##ic", "##ive", "##ity",
+        "##ies", "##es", "##s", "##e", "##y", "##n", "##d", "##r", "##t",
+        "##th", "##ch", "##sh", "##ck", "##ll", "##ss", "##an", "##en",
+        "##on", "##in", "##ar", "##or", "##at", "##it", "##is", "##le",
+        "##re", "##te", "##se", "##ce", "##nt", "##st", "##nd", "##rd",
+    ]
+)
+
+
+def _wordpiece_udf(vocab: Sequence[str]):
+    init = frozenset(p for p in vocab if not p.startswith("##"))
+    cont = frozenset(p[2:] for p in vocab if p.startswith("##") and len(p) > 2)
+    max_i = max((len(p) for p in init), default=1)
+    max_c = max((len(p) for p in cont), default=1)
+
+    @F.pandas_udf(T.ArrayType(T.StringType(), False))
+    def tok(norm_text: pd.Series) -> pd.Series:
+        def one(text: str | None) -> list[str]:
+            if not text:
+                return []
+            out: list[str] = []
+            for word in text.split(" "):
+                n, pos = len(word), 0
+                while pos < n:
+                    table, mx = (init, max_i) if pos == 0 else (cont, max_c)
+                    k = min(n - pos, mx)
+                    while k > 0 and word[pos : pos + k] not in table:
+                        k -= 1
+                    if k == 0:
+                        out.append(UNK_TOKEN)
+                        pos += 1
+                    else:
+                        piece = word[pos : pos + k]
+                        out.append(piece if pos == 0 else "##" + piece)
+                        pos += k
+            return out
+
+        return norm_text.map(one)
+
+    return tok
+
+
+def tokenize_wordpiece(
+    df: DataFrame,
+    *,
+    vocab: Sequence[str] = WORDPIECE_FIXTURE_VOCAB,
+    text_col: str = "text",
+    tokens_col: str = "wordpiece_tokens",
+) -> DataFrame:
+    """Add ``tokens_col`` (array<string>, the WordPiece pieces in order)
+    and ``n_wordpiece_tokens`` (long). Normalization runs JVM-side (the
+    shared textstats norm expression); only the per-word greedy matching
+    is Python. Feed ``n_wordpiece_tokens`` to ``pack_shards(...,
+    tokens_col="n_wordpiece_tokens")`` / ``mix_corpus`` for budgets
+    denominated in real tokenizer tokens."""
+    toks = _wordpiece_udf(vocab)(_norm(text_col))
+    return df.withColumn(tokens_col, toks).withColumn(
+        "n_wordpiece_tokens", F.size(tokens_col).cast("long")
+    )

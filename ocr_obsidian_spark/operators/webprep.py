@@ -417,6 +417,11 @@ def pack_shards(
     One shuffle on the group key. Each group's window is a single task —
     size ``groups`` to the cluster (≈ 10⁵ at 100 TB), not to 64; the
     default fits the local test corpus.
+
+    Budgets are denominated in whatever ``tokens_col`` holds: feed
+    ``tokenize.tokenize_wordpiece``'s ``n_wordpiece_tokens`` for real
+    tokenizer-token budgets (the whitespace/regex proxies under- and
+    over-count by 2-3x on web text).
     """
     from .xengine import md5_bucket
 

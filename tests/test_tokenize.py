@@ -1,0 +1,83 @@
+"""Vocab-driven WordPiece tokenizer: greedy longest-match semantics,
+[UNK] character fallback, and the pack_shards wiring (budgets denominated
+in real tokenizer tokens)."""
+
+from __future__ import annotations
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    from ocr_obsidian_spark.operators.tokenize import tokenize_wordpiece
+
+    vocab = ("a", "ab", "abc", "x", "##b", "##c", "##bc", "##x")
+    rows = [(1, "abcx"), (2, "ABC  x"), (3, "axb")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (list(r["wordpiece_tokens"]), r["n_wordpiece_tokens"])
+        for r in tokenize_wordpiece(df, vocab=vocab).collect()
+    }
+    # longest initial piece wins (abc, not a/ab), then continuation
+    assert got[1] == (["abc", "##x"], 2)
+    # normalization: lowercase + whitespace collapse, two words
+    assert got[2] == (["abc", "x"], 2)
+    # 'x' has a continuation entry, 'a'/'b' only via ##b
+    assert got[3] == (["a", "##x", "##b"], 3)
+
+
+def test_wordpiece_unk_char_fallback(spark):
+    from ocr_obsidian_spark.operators.tokenize import (
+        UNK_TOKEN,
+        tokenize_wordpiece,
+    )
+
+    vocab = ("a", "##a")
+    rows = [(1, "aqa"), (2, "qq"), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["wordpiece_tokens"])
+        for r in tokenize_wordpiece(df, vocab=vocab).collect()
+    }
+    # unknown position advances ONE char, then matching resumes
+    assert got[1] == ["a", UNK_TOKEN, "##a"]
+    assert got[2] == [UNK_TOKEN, UNK_TOKEN]
+    assert got[3] == [] and got[4] == []
+
+
+def test_wordpiece_fixture_vocab_covers_ascii(spark):
+    """The checked-in fixture vocab tokenizes any ascii-alnum word with
+    zero [UNK]s (single-char coverage both initial and continuation)."""
+    from ocr_obsidian_spark.operators.tokenize import (
+        UNK_TOKEN,
+        tokenize_wordpiece,
+    )
+
+    rows = [(1, "zqxjkv9 w7 unbreakable runn1ng"), (2, "totally normal text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in tokenize_wordpiece(df).collect():
+        assert UNK_TOKEN not in set(r["wordpiece_tokens"])
+        assert r["n_wordpiece_tokens"] > 0
+
+
+def test_pack_shards_on_wordpiece_counts(spark):
+    """End-to-end wiring: shard budgets denominated in REAL tokenizer
+    tokens — tokenize, pack on n_wordpiece_tokens, check the one-doc
+    overshoot bound per shard."""
+    from ocr_obsidian_spark.operators.tokenize import tokenize_wordpiece
+    from ocr_obsidian_spark.operators.webprep import pack_shards
+
+    rows = [
+        (i, f"https://h.test/{i}", "the running total of " * ((i % 9) + 1))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    toks = tokenize_wordpiece(df)
+    out = pack_shards(
+        df=toks, budget=120, tokens_col="n_wordpiece_tokens", groups=4
+    ).collect()
+    assert all(r["n_wordpiece_tokens"] > 0 for r in out)
+    by_shard: dict[tuple, int] = {}
+    for r in out:
+        key = (r["shard_group"], r["shard_idx"])
+        by_shard[key] = by_shard.get(key, 0) + r["n_wordpiece_tokens"]
+    max_tok = max(r["n_wordpiece_tokens"] for r in out)
+    for key, total in by_shard.items():
+        assert total <= 120 + max_tok, (key, total)
