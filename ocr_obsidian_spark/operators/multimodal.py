@@ -2,12 +2,13 @@
 
 Images/audio/video ride through the pipeline as ``binary`` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sampling are
-Arrow-batched ``mapInPandas`` stages. PNG payloads are decoded for REAL with
-a pure-stdlib decoder (``decode_png``: zlib inflate + scanline unfiltering —
-the PNG spec is public knowledge, no PIL needed); other codecs (JPEG, audio,
-video) remain a STUBBED boundary in this container (no libjpeg/ffmpeg) and
-fall back to deterministic content-derived fake features, so the distributed
-path is exercised end-to-end either way.
+Arrow-batched ``mapInPandas`` stages. PNG payloads decode for REAL with a
+pure-stdlib decoder (``decode_png``: zlib inflate + scanline unfiltering)
+and baseline JPEG payloads with ``jpegcodec.decode_jpeg`` (Huffman +
+dequant + IDCT — both specs are public knowledge, no PIL needed); the
+remaining codecs (GIF/WebP, audio, video) are a STUBBED boundary in this
+container (no ffmpeg) and fall back to deterministic content-derived fake
+features, so the distributed path is exercised end-to-end either way.
 """
 
 from __future__ import annotations
@@ -173,21 +174,27 @@ def png_dimensions(payload: bytes) -> tuple[int, int] | None:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to a (H, W, C) uint8 array.
 
-    PNG decodes for real via ``decode_png``. Other formats require a codec
-    library (PIL/opencv/libjpeg) not installed in this container — the
+    PNG decodes for real via ``decode_png``; baseline sequential JPEG via
+    ``jpegcodec.decode_jpeg`` (round 4). Other formats require a codec
+    library (PIL/opencv/ffmpeg) not installed in this container — the
     pipeline falls back to ``fake_features`` for them (see
     ``extract_media_features``)."""
+    from .jpegcodec import JPEG_SIGNATURE, decode_jpeg
+
     if payload.startswith(PNG_SIGNATURE):
         return decode_png(payload)
+    if payload.startswith(JPEG_SIGNATURE):
+        return decode_jpeg(payload)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "non-PNG image decode requires a codec (PIL/opencv) not present "
-            "in this environment; pipeline uses the deterministic stub features"
+            "non-PNG/JPEG image decode requires a codec (PIL/opencv) not "
+            "present in this environment; pipeline uses the deterministic "
+            "stub features"
         ) from exc
     raise NotImplementedError(  # pragma: no cover - container has no PIL
-        "non-PNG decode path not implemented"
+        "non-PNG/JPEG decode path not implemented"
     )
 
 
@@ -225,11 +232,13 @@ def extract_media_features(
 ) -> DataFrame:
     """(url, payload, meta) → feature rows via an Arrow-batched map stage.
 
-    PNG payloads decode for real (``decode_png``) and yield pixel-derived
-    features; anything else (or a malformed PNG) falls back fail-soft to
-    the deterministic content-derived ``fake_features`` — a bad payload
-    never kills the stage.
+    PNG and baseline-JPEG payloads decode for real (``decode_png`` /
+    ``decode_jpeg``) and yield pixel-derived features; anything else (or a
+    malformed/unsupported-profile payload) falls back fail-soft to the
+    deterministic content-derived ``fake_features`` — a bad payload never
+    kills the stage.
     """
+    from .jpegcodec import JPEG_SIGNATURE, decode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -239,6 +248,11 @@ def extract_media_features(
                 if data.startswith(PNG_SIGNATURE):
                     try:
                         vec = pixel_features(decode_png(data), dim)
+                    except Exception:
+                        vec = fake_features(data, dim)
+                elif data.startswith(JPEG_SIGNATURE):
+                    try:
+                        vec = pixel_features(decode_jpeg(data), dim)
                     except Exception:
                         vec = fake_features(data, dim)
                 else:
@@ -279,8 +293,9 @@ def resize_images(
     math + Arrow batch shape are real; the pixel resample itself is the same
     stubbed codec boundary as ``decode_image`` (the output row carries the
     input content hash in place of resized bytes). Missing metadata
-    dimensions are recovered from the PNG IHDR when the payload is PNG;
+    dimensions are recovered from the PNG IHDR or the JPEG SOF header;
     otherwise dimension-less rows pass through at scale 1.0."""
+    from .jpegcodec import jpeg_dimensions
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -290,7 +305,9 @@ def resize_images(
                 w = meta.get("width")
                 h = meta.get("height")
                 if (not w or not h) and payload is not None:
-                    dims = png_dimensions(bytes(payload))
+                    dims = png_dimensions(bytes(payload)) or jpeg_dimensions(
+                        bytes(payload)
+                    )
                     if dims is not None:
                         w, h = dims
                 if w and h and max(int(w), int(h)) > max_side:

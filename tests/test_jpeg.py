@@ -1,0 +1,163 @@
+"""Baseline JPEG codec: roundtrip oracles (the fixture encoder is the
+forward model, like encode_png for the PNG decoder), profile boundaries,
+and the multimodal wiring."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_obsidian_spark.operators.jpegcodec import (
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_dimensions,
+)
+
+
+def _maxdiff(a: np.ndarray, b: np.ndarray) -> int:
+    return int(np.abs(a.astype(np.int64) - b.astype(np.int64)).max())
+
+
+def test_solid_blocks_roundtrip_exactly():
+    # a solid block has only a DC coefficient; quant=1 makes the
+    # quantize/dequantize exact, so decode must be bit-identical
+    for v in (0, 1, 128, 137, 254, 255):
+        img = np.full((16, 24), v, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.shape == (16, 24, 1)
+        assert _maxdiff(out[:, :, 0], img) == 0
+
+
+def test_gray_roundtrip_near_lossless_odd_dims():
+    rng = np.random.default_rng(11)
+    for shape in [(13, 21), (8, 8), (1, 1), (9, 40), (64, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.shape == (*shape, 1)
+        # quant=1: only DCT float rounding survives
+        assert _maxdiff(out[:, :, 0], img) <= 2, shape
+
+
+def test_rgb_444_roundtrip():
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (19, 22, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape
+    # colorspace conversion adds one more rounding step
+    assert _maxdiff(out, img) <= 3
+
+
+def test_rgb_420_subsampled_smooth():
+    grad = (
+        np.linspace(0, 255, 40)[None, :, None]
+        + np.linspace(0, 40, 25)[:, None, None]
+        + np.array([0.0, 10.0, 20.0])[None, None, :]
+    )
+    img = np.clip(grad, 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, subsample=True))
+    assert out.shape == img.shape
+    # chroma is 2x2-averaged: smooth images survive within a few counts
+    assert np.abs(out.astype(float) - img.astype(float)).mean() < 1.5
+    assert _maxdiff(out, img) <= 12
+
+
+def test_restart_markers_reset_predictors():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (33, 41), dtype=np.uint8)
+    b = encode_jpeg(img, restart_interval=3)
+    assert b"\xff\xd0" in b or b"\xff\xd1" in b  # RSTn actually emitted
+    out = decode_jpeg(b)
+    assert _maxdiff(out[:, :, 0], img) <= 2
+
+
+def test_quant_lossy_but_close_on_average():
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=8))
+    assert np.abs(out[:, :, 0].astype(float) - img.astype(float)).mean() < 6.0
+
+
+def test_jpeg_dimensions_header_only():
+    img = np.zeros((37, 53), dtype=np.uint8)
+    b = encode_jpeg(img)
+    assert jpeg_dimensions(b) == (53, 37)
+    assert jpeg_dimensions(b"\xff\xd8\xff\xd9") is None
+    assert jpeg_dimensions(b"not a jpeg") is None
+
+
+def test_decode_errors():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
+    # truncated entropy stream
+    img = np.full((16, 16), 55, dtype=np.uint8)
+    b = encode_jpeg(img)
+    with pytest.raises(ValueError):
+        decode_jpeg(b[: len(b) // 2] + b"\xff\xd9")
+
+
+def test_progressive_is_an_honest_boundary():
+    # flip SOF0 -> SOF2 in a valid stream: must raise NotImplementedError,
+    # not mis-decode
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    b = bytearray(encode_jpeg(img))
+    idx = bytes(b).find(b"\xff\xc0")
+    assert idx > 0
+    b[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(b))
+
+
+def test_decode_image_dispatch_jpeg():
+    from ocr_obsidian_spark.operators.multimodal import decode_image
+
+    img = np.full((10, 12), 200, dtype=np.uint8)
+    out = decode_image(encode_jpeg(img))
+    assert out.shape == (10, 12, 1) and int(out.max()) == 200
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a....")
+
+
+def test_media_features_use_real_jpeg_pixels(spark):
+    from ocr_obsidian_spark.operators.multimodal import (
+        extract_media_features,
+        pixel_features,
+    )
+
+    solid = np.full((16, 16, 3), [200, 100, 50], dtype=np.uint8)
+    good = encode_jpeg(solid)
+    rows = [
+        ("u1", bytearray(good), {"media_type": "image", "mime": "image/jpeg",
+                                 "width": 16, "height": 16, "duration_ms": None}),
+        ("u2", bytearray(good[:20]), {"media_type": "image", "mime": "image/jpeg",
+                                      "width": None, "height": None,
+                                      "duration_ms": None}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, payload binary, media_meta struct<media_type:string,"
+        "mime:string,width:int,height:int,duration_ms:long>",
+    )
+    got = {r["url"]: r for r in extract_media_features(df).collect()}
+    expected = pixel_features(decode_jpeg(good))
+    assert got["u1"]["feature_vec"] == pytest.approx(expected)
+    # truncated payload: fail-soft to content-derived features, stage alive
+    assert got["u2"]["feature_vec"] != pytest.approx(expected)
+
+
+def test_resize_recovers_dims_from_jpeg_header(spark):
+    from ocr_obsidian_spark.operators.multimodal import resize_images
+
+    img = np.zeros((800, 1600), dtype=np.uint8)
+    b = encode_jpeg(img)  # solid image: encodes fast despite the size
+    rows = [("u1", bytearray(b), {"media_type": "image", "mime": "image/jpeg",
+                                  "width": None, "height": None,
+                                  "duration_ms": None})]
+    df = spark.createDataFrame(
+        rows,
+        "url string, payload binary, media_meta struct<media_type:string,"
+        "mime:string,width:int,height:int,duration_ms:long>",
+    )
+    [r] = resize_images(df, max_side=400).collect()
+    assert (r["out_width"], r["out_height"]) == (400, 200)
