@@ -507,11 +507,15 @@ def drop_duplicated_lines(
     per input row, empty string when every line was boilerplate.
 
     Scale shape (three shuffles, all on narrow rows):
-      1. posexplode → groupBy(norm_line) countDistinct(doc) — partial
-         aggregation map-side; the heavy text column never rides past the
-         explode projection.
+      1. posexplode → groupBy(xxhash64(norm_line)) countDistinct(doc) —
+         partial aggregation map-side; the heavy text column never rides
+         past the explode projection, and the grouping key is an 8-byte
+         hash instead of the line string itself (~5-10x narrower shuffle
+         on prose; a 64-bit collision mislabels one line as boilerplate
+         with p ≈ n²/2⁶⁵ — a handful of lines corpus-wide at 10¹⁰
+         distinct lines, the standard trade for hash-keyed dedup).
       2. shuffle hash join of (id, pos, line) against the boilerplate set
-         on the SAME norm key — co-partitioned with the aggregation's
+         on the SAME hash key — co-partitioned with the aggregation's
          output, and the boilerplate side is the post-filter minority.
       3. groupBy(doc) rebuild — collect_list of (pos, line) structs,
          sorted in-task, concat_ws'd; no window, no global sort.
@@ -530,13 +534,16 @@ def drop_duplicated_lines(
     ).withColumn("_norm", F.lower(F.trim(F.col("_line"))))
     boiler = (
         lines.filter(F.col("_norm") != "")
-        .groupBy("_norm")
+        .select(F.xxhash64("_norm").alias("_k"), F.col(id_col))
+        .groupBy("_k")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
         .filter(F.col("_nd") >= int(min_docs))
-        .select("_norm", F.lit(True).alias("_dup"))
+        .select("_k", F.lit(True).alias("_dup"))
     )
-    marked = lines.join(boiler, "_norm", "left").withColumn(
-        "_keep", F.col("_dup").isNull()
+    marked = (
+        lines.withColumn("_k", F.xxhash64("_norm"))
+        .join(boiler, "_k", "left")
+        .withColumn("_keep", F.col("_dup").isNull())
     )
     xs = F.array_sort(F.collect_list(F.struct("_pos", "_keep", "_line")))
     # staged projection: _kept is referenced three times below and HOF

@@ -169,3 +169,40 @@ def test_webtext_suite_plan_shapes(spark):
     for q in ["line_dedup", "paragraph_dedup"]:
         ex, _ = counts(q)
         assert ex == 3, q
+
+
+def test_line_dedup_shuffles_hashed_keys_not_line_strings(spark):
+    """The boilerplate agg/join key is xxhash64(norm), so the first two
+    exchanges carry 8-byte keys — the normalized line string must not
+    appear below either exchange's agg/join keying."""
+    import __spark_entry__ as e
+
+    p = plan_str(e.queries()["line_dedup"](spark, SF), mode="simple")
+    assert "xxhash64" in p
+    # the aggregation and join both key on the hash column
+    assert "hashpartitioning(_k#" in p or "hashpartitioning(_k " in p
+
+
+def test_large_blocklist_corpus_never_shuffles(spark):
+    """Large-list filter_blocked_domains: after AQE finalizes, the corpus
+    side anti-joins a BROADCAST of the blocked-host set — the corpus scan
+    feeds the join with no exchange; the only exchanges sit on the narrow
+    distinct-hosts branch."""
+    from pyspark.sql import functions as F
+
+    from ocr_obsidian_spark.operators.webprep import filter_blocked_domains
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "url",
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 13).cast("string"),
+                 F.lit(".test/p/"), F.col("doc_id").cast("string")),
+    )
+    blocked = [f"h{i}.test" for i in range(3)] + [
+        f"junk{i}.example" for i in range(80)
+    ]
+    out = filter_blocked_domains(docs, blocked)
+    out.count()  # materialize so AdaptiveSparkPlan finalizes
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+    assert "monotonically_increasing_id" not in p
