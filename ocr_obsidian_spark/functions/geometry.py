@@ -79,7 +79,10 @@ def group_lines(
     # at C speed. Running mean via incremental sum — float-add order is
     # identical to re-summing in insertion order, so the mean (and thus
     # clustering) is bit-exact vs the reference's recompute (ocr.py:107).
-    clusters: list[dict[str, Any]] = []
+    # clusters as parallel lists (word lists / running sums), not dicts —
+    # the per-word dict field accesses were ~20% of this function
+    cluster_words: list[list[dict[str, Any]]] = []
+    cluster_sum: list[float] = []
     # means kept twice: a plain-float list for the small-k loop (numpy
     # scalar reads cost ~5× a float compare) and a numpy mirror for the
     # vectorized path — same float64 values, so identical comparisons
@@ -103,23 +106,26 @@ def group_lines(
                     matched = i
                     break
         if matched >= 0:
-            cluster = clusters[matched]
-            cluster["words"].append(w)
-            cluster["sum_y"] += cy
-            m = cluster["sum_y"] / len(cluster["words"])
-            cluster["cy"] = m
+            wl = cluster_words[matched]
+            wl.append(w)
+            s = cluster_sum[matched] + cy
+            cluster_sum[matched] = s
+            m = s / len(wl)
             means[matched] = m
             means_f[matched] = m
         else:
-            clusters.append({"cy": cy, "sum_y": cy, "words": [w]})
+            cluster_words.append([w])
+            cluster_sum.append(cy)
             means[k] = cy
             means_f.append(cy)
             k += 1
 
-    clusters.sort(key=lambda c: c["cy"])
+    # stable sort by final mean — identical order to the dict-based
+    # clusters.sort(key=cy) (creation-order ties preserved)
+    order = sorted(range(k), key=means_f.__getitem__)
     lines: list[dict[str, Any]] = []
-    for idx, cluster in enumerate(clusters, start=1):
-        ws = sorted(cluster["words"], key=lambda w: w["bbox"][0])
+    for idx, ci in enumerate(order, start=1):
+        ws = sorted(cluster_words[ci], key=lambda w: w["bbox"][0])
         lines.append(
             {
                 "line_id": f"p{page_num}_l{idx}",

@@ -102,15 +102,31 @@ def clean_line(line: dict[str, Any]) -> str:
     residue (reference ingest/render_text.py:65-82).
     """
     kept: list[str] = []
-    for raw, conf in line_tokens(line):
-        # byte-exact fast path: an alphanumeric token contains no
-        # whitespace and none of the strip chars, so both ops are identity
-        if raw.isalnum():
-            token = raw
-        else:
-            token = normalize_spaces(raw).strip("|\\()")
-        if token and not token_is_junk(token, conf):
-            kept.append(token)
+    words = line.get("words")
+    if isinstance(words, (list, tuple)) and len(words) > 0:
+        # inlined line_tokens word path: same str()/float() conversions,
+        # minus the intermediate tuple-list build (hot: ~60 words/line ×
+        # every page). The float() stays eager — a non-floatable
+        # confidence must raise exactly like the tolerant-read contract.
+        for w in words:
+            raw = str(w.get("text", ""))
+            conf = float(w.get("confidence", 100.0))
+            # byte-exact fast path: an alphanumeric token contains no
+            # whitespace and none of the strip chars → both ops identity
+            if raw.isalnum():
+                token = raw
+            else:
+                token = normalize_spaces(raw).strip("|\\()")
+            if token and not token_is_junk(token, conf):
+                kept.append(token)
+    else:
+        for raw in str(line.get("text", "")).split():
+            if raw.isalnum():
+                token = raw
+            else:
+                token = normalize_spaces(raw).strip("|\\()")
+            if token and not token_is_junk(token, 100.0):
+                kept.append(token)
 
     # the re-normalization after the join is LOAD-BEARING: stripping
     # ``|\\()`` can expose whitespace at token edges ('0C \\' → '0C ') —

@@ -81,10 +81,30 @@ def _extract_one(url: str, html: Any, cfg: PipelineConfig) -> dict[str, Any]:
         parse_ok = False
     for w in raw_words:
         try:
-            bbox = [int(v) for v in w["b"]]
-            admitted = admit_word(
-                w.get("t", ""), w.get("c"), bbox[2] - bbox[0], bbox[3] - bbox[1]
-            )
+            b = w["b"]
+            t = w.get("t", "")
+            c = w.get("c")
+            # byte-exact fast path for the dominant well-formed row (str
+            # text, numeric conf, 4-int bbox): [int(v) for v in b] is a
+            # copy of b (nothing downstream mutates bboxes), str(t).strip()
+            # is t.strip(), and admit_word's float()+compares reduce to
+            # `not (c < 0)` (NaN conf admits in both forms) + extent checks
+            if (
+                type(t) is str
+                and type(b) is list
+                and len(b) == 4
+                and type(b[0]) is int
+                and type(b[1]) is int
+                and type(b[2]) is int
+                and type(b[3]) is int
+                and (type(c) is float or type(c) is int)
+            ):
+                ts = t.strip()
+                if ts and not (c < 0) and b[2] > b[0] and b[3] > b[1]:
+                    words.append({"text": ts, "bbox": b, "confidence": float(c)})
+                continue
+            bbox = [int(v) for v in b]
+            admitted = admit_word(t, c, bbox[2] - bbox[0], bbox[3] - bbox[1])
         except (TypeError, ValueError, KeyError, IndexError):
             parse_ok = False
             continue
