@@ -142,6 +142,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     round + clip); 1-component images return grayscale."""
     if not payload.startswith(JPEG_SIGNATURE):
         raise ValueError("not a JPEG payload")
+    try:
+        return _decode_jpeg_inner(payload)
+    except (struct.error, IndexError, KeyError, StopIteration) as exc:
+        # malformed-stream shapes surface as data errors (the module's
+        # contract), never as implementation-detail exception types
+        raise ValueError(f"malformed JPEG: {type(exc).__name__}: {exc}") from exc
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (w, h, [(cid, hs, vs, tq)])

@@ -40,8 +40,14 @@ def main() -> None:
     while len(pages) < n:
         doc_id, text = docs[i % len(docs)]
         did = int(doc_id) + 1_000_000 * (i // len(docs))
-        payload = json.dumps(_doc_payload(did, text)).encode()
-        pages.append((f"https://docs.test/book_b{did // 512:05d}/page_{did:06d}", payload))
+        # byte-identical to pages_from_documents: ensure_ascii=False (the
+        # escaped form is materially larger on non-ASCII corpora and would
+        # skew the json-parse share of the profile) and the same book url
+        payload = json.dumps(_doc_payload(did, text), ensure_ascii=False).encode(
+            "utf-8"
+        )
+        book = f"src-{did // 512:05d}"
+        pages.append((f"https://docs.test/book_{book}/page_{did:06d}", payload))
         i += 1
 
     def run() -> None:

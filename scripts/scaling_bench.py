@@ -98,18 +98,30 @@ def main() -> None:
 
     # efficiency pairs compare ONLY same-input samples (the criterion
     # requires identical input at both levels); the fold is per (level,
-    # input-size)
-    cur_docs = next(d["extract_docs"] for c in LEVELS for d in samples[c])
-    best = {
-        c: max(
-            (r for r in ledger[str(c)] if r["extract_docs"] == cur_docs),
-            key=lambda d: d["docs_per_sec"],
-        )
-        for c in LEVELS
-    }
+    # input-size). A level whose every sample failed simply drops out of
+    # the fold — the surviving levels' analysis still prints (the whole
+    # point of skipping failed samples).
+    all_docs = [d["extract_docs"] for c in LEVELS for d in samples[c]]
+    if not all_docs:
+        print("every sample failed; nothing to fold", file=sys.stderr)
+        sys.exit(1)
+    cur_docs = all_docs[0]
+    best = {}
+    for c in LEVELS:
+        rows = [
+            r
+            for r in ledger.get(str(c), [])
+            if r["extract_docs"] == cur_docs
+        ]
+        if rows:
+            best[c] = max(rows, key=lambda d: d["docs_per_sec"])
+        else:
+            print(f"local[{c}]: no usable samples at {cur_docs} docs",
+                  file=sys.stderr)
     effs = {
         (a, b): (best[b]["docs_per_sec"] / best[a]["docs_per_sec"]) / (b / a)
         for a, b in PAIRS
+        if a in best and b in best
     }
 
     level_rows = "\n".join(
@@ -117,9 +129,10 @@ def main() -> None:
         + ", ".join(str(d["queries"]["extract"]) for d in samples[c])
         + f" | {best[c]['docs_per_sec']} (of {len(ledger[str(c)])}) |"
         for c in LEVELS
+        if c in best
     )
     eff_rows = "\n".join(
-        f"| {a} → {b} | {effs[(a, b)]:.3f} |" for a, b in PAIRS
+        f"| {a} → {b} | {effs[(a, b)]:.3f} |" for a, b in effs
     )
 
     # full bench: interleaved best-of-ROUNDS per query (single samples are
@@ -173,7 +186,7 @@ North-rule metric: documents/sec through the FULL extraction pipeline
 (tokenize → segment → clean-render → QA gate → printed-page detect + mode
 window + corpus persist), byte-identical per url to the reference renderer
 (pinned by tests/). Input: the sf documents table replicated {REPLICATE}×
-with distinct ids ({best[LEVELS[0]]['extract_docs']} pages), identical bytes
+with distinct ids ({cur_docs} pages), identical bytes
 at every parallelism level; each sample is a fresh JVM via bench.py.
 
 In-sandbox analog of the N → 4N executor criterion (no real cluster
