@@ -888,7 +888,40 @@ def q_gopher_flags(spark: SparkSession, sf: str) -> DataFrame:
     return with_gopher_flags(injected).select(
         "doc_id", "symbol_word_ratio", "bullet_line_frac",
         "ellipsis_line_frac", "alpha_word_frac", "stop_distinct",
-        "gopher_pass",
+        "n_words", "mean_word_len", "gopher_pass",
+    )
+
+
+# repetition-injection literals shared by q_gopher_rep and its oracle
+_REP_GRAMS = " the quick brown fox jumps over the lazy dog again" * 3
+_REP_LINES = "\nSubscribe to our newsletter today!" * 3
+_REP_PARAS = "\n\nCopyright footer paragraph rides here." * 2
+
+
+def q_gopher_rep(spark: SparkSession, sf: str) -> DataFrame:
+    """Full Gopher repetition rule set over documents with injected
+    repetition tails (inline repeated phrase → dup 5-10-grams; repeated
+    lines; repeated paragraphs) so every fraction sees non-trivial
+    values. Oracled by explode + group-by SQL replaying the same
+    set-union coverage."""
+    from ocr_obsidian_spark.operators.repetition import with_gopher_repetition
+
+    d = _t(spark, sf, "documents", spread=True)
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 4 == 1, F.lit(_REP_GRAMS))
+            .when(F.col("doc_id") % 4 == 2, F.lit(_REP_LINES))
+            .when(F.col("doc_id") % 4 == 3, F.lit(_REP_PARAS))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = with_gopher_repetition(injected)
+    from ocr_obsidian_spark.operators.repetition import GOPHER_REP_THRESHOLDS
+
+    return out.select(
+        "doc_id", *GOPHER_REP_THRESHOLDS.keys(), "gopher_rep_pass"
     )
 
 
@@ -1104,7 +1137,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_bounds": q_agg_bounds,
         "topk_rank": q_topk_rank,
-        "context_window": q_context_window,
         "mode_switch": q_mode_switch,
         "join_agg": q_join_agg,
         "theta_join": q_theta_join,
@@ -1150,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "blocklist": q_blocklist,
         "gopher_flags": q_gopher_flags,
+        "gopher_rep": q_gopher_rep,
         "c4_filter": q_c4_filter,
         # rows-only: extract_pipeline is the pandas-UDF extraction spine
         # (pinned byte-identical to the reference by tests/ — the ONE
@@ -1164,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_per_key": q_latest_per_key,
         "text_metrics": q_text_metrics,
         "line_concat": q_line_concat,
+        "context_window": q_context_window,
     }
 
 
@@ -1322,6 +1356,117 @@ def _noisy_url_sql(bid: str) -> str:
                                WHEN doc_id % 6 = 3 THEN ''
                                WHEN doc_id % 6 = 4 THEN '/%7eu%31%2fv'
                                ELSE '/~u1%2Fv' END"""
+
+
+def _gopher_rep_sql() -> str:
+    """DuckDB replay of q_gopher_rep: dup line/para chars by group-by
+    over exploded units; top-n-gram chars by count×len of the
+    (count desc, gram asc) winner; dup-n-gram chars by DISTINCT covered
+    word positions (the same set-union coverage the UDF computes)."""
+    from ocr_obsidian_spark.operators.repetition import (
+        DUP_NS,
+        GOPHER_REP_THRESHOLDS,
+        TOP_NS,
+    )
+
+    def unit_cte(name: str, sep: str) -> str:
+        return f"""
+            {name}u AS (SELECT doc_id, unnest(string_split(raw, {sep})) AS u
+                        FROM b),
+            {name}c AS (SELECT doc_id, u, count(*) AS c FROM {name}u
+                        GROUP BY doc_id, u),
+            {name}f AS (SELECT doc_id,
+                   round(coalesce(
+                       sum(CASE WHEN c > 1 THEN (c - 1) * length(u) END)::DOUBLE
+                       / NULLIF(sum(c * length(u)), 0), 0), 6) AS frac
+                 FROM {name}c GROUP BY doc_id)"""
+
+    all_ns = ", ".join(str(n) for n in (*TOP_NS, *DUP_NS))
+    top_cols = ",\n               ".join(
+        f"max(CASE WHEN tp.nn = {n} THEN tp.numer END) AS top{n}" for n in TOP_NS
+    )
+    dup_cols = ",\n               ".join(
+        f"max(CASE WHEN cv.nn = {n} THEN cv.numer END) AS dup{n}" for n in DUP_NS
+    )
+    out_fracs = ",\n           ".join(
+        [
+            f"round(coalesce(top{n} / NULLIF(total, 0), 0), 6)"
+            f" AS top_{n}gram_char_frac"
+            for n in TOP_NS
+        ]
+        + [
+            f"round(coalesce(dup{n} / NULLIF(total, 0), 0), 6)"
+            f" AS dup_{n}gram_char_frac"
+            for n in DUP_NS
+        ]
+    )
+    gate = " AND ".join(
+        f"{c} <= {thr}" for c, thr in GOPHER_REP_THRESHOLDS.items()
+    )
+    return f"""
+        WITH inj AS (
+            SELECT doc_id,
+                   coalesce(text, '')
+                   || CASE WHEN doc_id % 4 = 1 THEN {_sql_str(_REP_GRAMS)}
+                           WHEN doc_id % 4 = 2 THEN {_sql_str(_REP_LINES)}
+                           WHEN doc_id % 4 = 3 THEN {_sql_str(_REP_PARAS)}
+                           ELSE '' END AS text
+            FROM documents),
+        b AS (SELECT doc_id, text AS raw, {_NORM_SQL} AS norm FROM inj),
+        {unit_cte("l", "chr(10)")},
+        {unit_cte("p", "chr(10) || chr(10)")},
+        t AS (SELECT doc_id, string_split(norm, ' ') AS toks,
+                     length(norm) AS total, len(string_split(norm, ' ')) AS m
+              FROM b),
+        tn AS (SELECT doc_id, toks, total, m, unnest([{all_ns}]) AS nn FROM t),
+        g AS (SELECT doc_id, nn, i,
+                     array_to_string(list_slice(toks, i, i + nn - 1), ' ')
+                         AS gram
+              FROM (SELECT doc_id, toks, nn,
+                           unnest(generate_series(1, m - nn + 1)) AS i
+                    FROM tn WHERE m >= nn AND total > 0)),
+        gc AS (SELECT doc_id, nn, gram, count(*) AS c FROM g
+               GROUP BY doc_id, nn, gram),
+        topg AS (SELECT doc_id, nn, c * length(gram) AS numer,
+                        row_number() OVER (PARTITION BY doc_id, nn
+                                           ORDER BY c DESC, gram ASC) AS rn
+                 FROM gc WHERE nn <= {max(TOP_NS)}),
+        tp AS (SELECT doc_id, nn, numer FROM topg WHERE rn = 1),
+        dsrc AS (SELECT g.doc_id, g.nn, g.i
+                 FROM g JOIN gc ON g.doc_id = gc.doc_id AND g.nn = gc.nn
+                                AND g.gram = gc.gram
+                 WHERE gc.c > 1 AND g.nn >= {min(DUP_NS)}),
+        covp AS (SELECT DISTINCT doc_id, nn, i + off AS p
+                 FROM (SELECT doc_id, nn, i,
+                              unnest(generate_series(0, nn - 1)) AS off
+                       FROM dsrc)),
+        cv AS (SELECT covp.doc_id, covp.nn,
+                      sum(length(t.toks[covp.p]))::DOUBLE AS numer
+               FROM covp JOIN t ON covp.doc_id = t.doc_id
+               GROUP BY covp.doc_id, covp.nn),
+        agg AS (SELECT t.doc_id, any_value(t.total) AS total,
+               {top_cols},
+               {dup_cols}
+                FROM t LEFT JOIN tp ON t.doc_id = tp.doc_id
+                       LEFT JOIN cv ON t.doc_id = cv.doc_id
+                GROUP BY t.doc_id),
+        fr AS (SELECT agg.doc_id,
+           lf.frac AS dup_line_char_frac,
+           pf.frac AS dup_para_char_frac,
+           {out_fracs}
+        FROM agg JOIN lf ON agg.doc_id = lf.doc_id
+                 JOIN pf ON agg.doc_id = pf.doc_id)
+        SELECT fr.*, ({gate}) AS gopher_rep_pass FROM fr
+    """
+
+
+def _sql_str(s: str) -> str:
+    """Python string → DuckDB string literal (quotes escaped, newlines as
+    chr(10) concatenations so the literal stays single-line-safe)."""
+    parts = []
+    for seg in s.split("\n"):
+        parts.append("'" + seg.replace("'", "''") + "'")
+    return "(" + " || chr(10) || ".join(parts) + ")"
 
 
 def _subword_tokens_sql() -> str:
@@ -1948,6 +2093,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE r.rn = 1
         """,
         "script_mix": _script_mix_sql(),
+        "gopher_rep": _gopher_rep_sql(),
         "gopher_flags": f"""
             WITH inj AS (
                 SELECT doc_id,
@@ -1961,6 +2107,7 @@ def oracle_sql() -> dict[str, str]:
             f AS (SELECT doc_id,
                          string_split(raw, chr(10)) AS lines,
                          string_split(norm, ' ') AS toks,
+                         length(norm) AS norm_len,
                          length(regexp_replace(raw, '[^#]', '', 'g')) AS n_hash,
                          (length(raw) - length(replace(raw, '...', ''))) / 3
                              AS n_dots,
@@ -1969,6 +2116,9 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT doc_id, n_hash, n_dots, n_uni,
                          greatest(len(lines), 1) AS n_lines,
                          greatest(len(toks), 1) AS n_words,
+                         CASE WHEN norm_len = 0 THEN 0
+                              ELSE len(toks) END AS true_words,
+                         norm_len,
                          len(list_filter(lines,
                              l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bul,
                          len(list_filter(lines,
@@ -1987,13 +2137,21 @@ def oracle_sql() -> dict[str, str]:
                          round(n_ell::DOUBLE / n_lines, 6)
                              AS ellipsis_line_frac,
                          round(n_alpha::DOUBLE / n_words, 6) AS alpha_word_frac,
-                         CAST(sd AS BIGINT) AS stop_distinct
+                         CAST(sd AS BIGINT) AS stop_distinct,
+                         CAST(true_words AS BIGINT) AS n_words_t,
+                         round(CASE WHEN true_words = 0 THEN 0.0
+                                    ELSE (norm_len - true_words + 1)::DOUBLE
+                                         / true_words END, 6) AS mean_word_len
                   FROM g)
             SELECT doc_id, symbol_word_ratio, bullet_line_frac,
                    ellipsis_line_frac, alpha_word_frac, stop_distinct,
+                   n_words_t AS n_words, mean_word_len,
                    (symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
                     AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
-                    AND stop_distinct >= 2) AS gopher_pass
+                    AND stop_distinct >= 2
+                    AND n_words_t >= 50 AND n_words_t <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                       AS gopher_pass
             FROM r
         """,
         "c4_filter": ("""

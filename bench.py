@@ -135,8 +135,9 @@ def main() -> None:
         "html_blocks", "html_extract", "url_canon", "mix_corpus",
         "pack_shards", "url_dedup", "script_mix", "paragraph_dedup",
         "blocklist", "gopher_flags", "c4_filter",
-        # round 4: IDN canonicalization + real subword tokenizer
-        "url_canon_idn", "subword_tokens",
+        # round 4: IDN canonicalization + real subword tokenizer + full
+        # Gopher repetition rule set
+        "url_canon_idn", "subword_tokens", "gopher_rep",
     ]
     # Forcing function (bench definition, changed in round 4): .count()
     # lets Catalyst prune every row-preserving projection — including

@@ -126,6 +126,10 @@ def with_gopher_flags(
     min_alpha_word_frac: float = 0.8,
     min_distinct_stopwords: int = 2,
     stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
 ) -> DataFrame:
     """The Gopher rule set beyond what's in with_quality_score /
     with_repetition_stats: symbol-to-word ratio (# and … spam),
@@ -140,6 +144,13 @@ def with_gopher_flags(
     the marker set and the threshold are parameters for per-deployment
     variants (e.g. datatrove counts total occurrences instead — pass a
     different threshold/set to approximate).
+
+    Round 4 adds the published document-shape gates: word count in
+    [``min_words``, ``max_words``] (Gopher: 50..100 000) and mean word
+    length in [``min_mean_word_len``, ``max_mean_word_len``] (3..10
+    characters), as ``n_words`` / ``mean_word_len`` columns folded into
+    ``gopher_pass``. The repetition half of the published rule set lives
+    in ``operators/repetition.with_gopher_repetition``.
     """
     raw = F.coalesce(F.col(text_col), F.lit(""))
     staged = df.withColumn("_lines", F.split(raw, "\n")).withColumn(
@@ -174,12 +185,20 @@ def with_gopher_flags(
             F.array(*[F.lit(s) for s in stopwords]),
         )
     )
+    norm_len = F.length(_norm(text_col))
+    true_words = F.when(norm_len == 0, F.lit(0)).otherwise(F.size("_toks"))
+    # norm is single-space-collapsed, so sum(word lens) = len(norm)-(n-1)
+    mean_word_len = F.when(true_words == 0, F.lit(0.0)).otherwise(
+        (norm_len - true_words + 1).cast("double") / true_words
+    )
     out = (
         staged.withColumn("symbol_word_ratio", F.round(symbol_word_ratio, 6))
         .withColumn("bullet_line_frac", F.round(bullet_frac, 6))
         .withColumn("ellipsis_line_frac", F.round(ellipsis_frac, 6))
         .withColumn("alpha_word_frac", F.round(alpha_word_frac, 6))
         .withColumn("stop_distinct", stop_distinct.cast("long"))
+        .withColumn("n_words", true_words.cast("long"))
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
     )
     gopher_pass = (
         (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
@@ -187,6 +206,10 @@ def with_gopher_flags(
         & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
         & (F.col("alpha_word_frac") >= min_alpha_word_frac)
         & (F.col("stop_distinct") >= int(min_distinct_stopwords))
+        & (F.col("n_words") >= int(min_words))
+        & (F.col("n_words") <= int(max_words))
+        & (F.col("mean_word_len") >= float(min_mean_word_len))
+        & (F.col("mean_word_len") <= float(max_mean_word_len))
     )
     return out.withColumn("gopher_pass", gopher_pass).drop("_lines", "_toks")
 

@@ -186,13 +186,41 @@ def test_gopher_flags(spark):
         (5, "000 111 222 333 444 555"),  # no alpha words, no stopwords
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r["doc_id"]: r for r in with_gopher_flags(df).collect()}
+    # relax the published 50-word floor: these fixtures isolate the
+    # symbol/bullet/ellipsis/alpha/stopword rules on short texts
+    got = {r["doc_id"]: r for r in with_gopher_flags(df, min_words=5).collect()}
     assert got[1]["gopher_pass"]
     assert got[2]["symbol_word_ratio"] > 0.1 and not got[2]["gopher_pass"]
     assert got[3]["bullet_line_frac"] == 1.0 and not got[3]["gopher_pass"]
     assert got[4]["ellipsis_line_frac"] > 0.3 and not got[4]["gopher_pass"]
     assert got[5]["alpha_word_frac"] == 0.0 and got[5]["stop_distinct"] == 0
     assert not got[5]["gopher_pass"]
+
+
+def test_gopher_document_shape_gates(spark):
+    """Published Gopher doc-shape rules: word count in [50, 100k], mean
+    word length in [3, 10]."""
+    from ocr_obsidian_spark.operators.textstats import with_gopher_flags
+
+    ok = "the good and solid words keep flowing here with sense " * 6  # 60 words
+    rows = [
+        (1, ok),
+        (2, "the cat sat on that mat with it"),  # 8 words < 50
+        (3, "to be of an it " * 12),  # 60 words, mean len 2 < 3
+        (4, ("pneumonoultramicroscopic words with the " + "x" * 40 + " ") * 15),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_gopher_flags(df).collect()}
+    assert got[1]["n_words"] == 60 and got[1]["gopher_pass"]
+    assert got[2]["n_words"] == 8 and not got[2]["gopher_pass"]
+    assert got[3]["mean_word_len"] < 3.0 and not got[3]["gopher_pass"]
+    assert got[4]["mean_word_len"] > 10.0 and not got[4]["gopher_pass"]
+    # the floor parametrizes away for short-doc deployments
+    relaxed = {
+        r["doc_id"]: r
+        for r in with_gopher_flags(df, min_words=5).collect()
+    }
+    assert relaxed[2]["gopher_pass"]
 
 
 def test_gopher_stopword_rule_is_published_set(spark):
@@ -213,7 +241,7 @@ def test_gopher_stopword_rule_is_published_set(spark):
         (4, "is it a in on for words only"),  # non-Gopher markers: zero
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r["doc_id"]: r for r in with_gopher_flags(df).collect()}
+    got = {r["doc_id"]: r for r in with_gopher_flags(df, min_words=5).collect()}
     assert got[1]["stop_distinct"] == 1 and not got[1]["gopher_pass"]
     assert got[2]["stop_distinct"] == 2
     assert got[3]["stop_distinct"] == 8 and got[3]["gopher_pass"]
@@ -228,3 +256,52 @@ def test_gopher_stopword_rule_is_published_set(spark):
     assert custom[1]["stop_distinct"] == 1
     assert custom[2]["stop_distinct"] == 1
     assert custom[3]["stop_distinct"] == 0
+
+
+def test_gopher_repetition_fractions(spark):
+    from ocr_obsidian_spark.operators.repetition import with_gopher_repetition
+
+    clean = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, clean),
+        # one line repeated 3x among two unique ones
+        (2, "alpha beta\nunique one\nalpha beta\nalpha beta"),
+        # repeated paragraph
+        (3, "para one body\n\npara one body\n\nother"),
+        # inline phrase repeated: covers dup 5-grams via union coverage
+        (4, ("the quick brown fox jumps again " * 3) + clean),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_gopher_repetition(df).collect()}
+    assert got[1]["gopher_rep_pass"]
+    assert all(got[1][c] == 0.0 for c in ("dup_line_char_frac", "dup_5gram_char_frac"))
+    # doc 2: 'alpha beta' (10 chars) x3 -> 2 dup occurrences of 10 chars
+    # over 10*3 + 10 total line chars
+    assert got[2]["dup_line_char_frac"] == round(20 / 40, 6)
+    assert not got[2]["gopher_rep_pass"]
+    assert got[3]["dup_para_char_frac"] == round(13 / (13 * 2 + 5), 6)
+    # doc 4: every word of the repeated phrase region is covered by a
+    # duplicated 5-gram (union coverage)
+    assert got[4]["dup_5gram_char_frac"] > 0.2
+    assert not got[4]["gopher_rep_pass"]
+    assert got[5]["dup_line_char_frac"] == 0.0 and got[5]["gopher_rep_pass"]
+    assert got[6]["top_2gram_char_frac"] == 0.0
+
+
+def test_gopher_repetition_top_gram_and_coverage_exact(spark):
+    from ocr_obsidian_spark.operators.repetition import with_gopher_repetition
+
+    # 'a b' appears 3x ('a b c a b d a b'): top 2-gram = 'a b' (3 chars),
+    # norm len = 15 -> 3*3/15 = 0.6
+    rows = [(1, "a b c a b d a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    [r] = with_gopher_repetition(df).collect()
+    assert r["top_2gram_char_frac"] == 0.6
+    # overlapping duplicated 5-grams must count each covered word once:
+    # 'x x x x x x x' -> every 5-gram 'x x x x x' duplicated, coverage =
+    # all 7 words (7 chars) over norm len 13
+    rows = [(1, "x x x x x x x")]
+    [r] = with_gopher_repetition(spark.createDataFrame(rows, "doc_id long, text string")).collect()
+    assert r["dup_5gram_char_frac"] == round(7 / 13, 6)
