@@ -3,12 +3,13 @@
 Images/audio/video ride through the pipeline as ``binary`` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sampling are
 Arrow-batched ``mapInPandas`` stages. PNG payloads decode for REAL with a
-pure-stdlib decoder (``decode_png``: zlib inflate + scanline unfiltering)
-and baseline JPEG payloads with ``jpegcodec.decode_jpeg`` (Huffman +
-dequant + IDCT — both specs are public knowledge, no PIL needed); the
-remaining codecs (GIF/WebP, audio, video) are a STUBBED boundary in this
-container (no ffmpeg) and fall back to deterministic content-derived fake
-features, so the distributed path is exercised end-to-end either way.
+pure-stdlib decoder (``decode_png``: zlib inflate + scanline unfiltering),
+baseline JPEG with ``jpegcodec.decode_jpeg`` (Huffman + dequant + IDCT)
+and GIF first-frames with ``gifcodec.decode_gif`` (LZW + palettes +
+interlace) — all three specs are public knowledge, no PIL needed. The
+remaining codecs (WebP/AVIF/TIFF, audio, video) are a STUBBED boundary in
+this container (no ffmpeg) and fall back to deterministic content-derived
+fake features, so the distributed path is exercised end-to-end either way.
 """
 
 from __future__ import annotations
@@ -175,26 +176,30 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to a (H, W, C) uint8 array.
 
     PNG decodes for real via ``decode_png``; baseline sequential JPEG via
-    ``jpegcodec.decode_jpeg`` (round 4). Other formats require a codec
-    library (PIL/opencv/ffmpeg) not installed in this container — the
-    pipeline falls back to ``fake_features`` for them (see
+    ``jpegcodec.decode_jpeg``; GIF (first frame) via ``gifcodec.decode_gif``
+    (both round 4). Other formats (WebP/AVIF/TIFF, audio, video) require a
+    codec library (PIL/opencv/ffmpeg) not installed in this container —
+    the pipeline falls back to ``fake_features`` for them (see
     ``extract_media_features``)."""
+    from .gifcodec import GIF_SIGNATURES, decode_gif
     from .jpegcodec import JPEG_SIGNATURE, decode_jpeg
 
     if payload.startswith(PNG_SIGNATURE):
         return decode_png(payload)
     if payload.startswith(JPEG_SIGNATURE):
         return decode_jpeg(payload)
+    if payload[:6] in GIF_SIGNATURES:
+        return decode_gif(payload)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "non-PNG/JPEG image decode requires a codec (PIL/opencv) not "
-            "present in this environment; pipeline uses the deterministic "
-            "stub features"
+            "non-PNG/JPEG/GIF image decode requires a codec (PIL/opencv) "
+            "not present in this environment; pipeline uses the "
+            "deterministic stub features"
         ) from exc
     raise NotImplementedError(  # pragma: no cover - container has no PIL
-        "non-PNG/JPEG decode path not implemented"
+        "non-PNG/JPEG/GIF decode path not implemented"
     )
 
 
@@ -232,29 +237,33 @@ def extract_media_features(
 ) -> DataFrame:
     """(url, payload, meta) → feature rows via an Arrow-batched map stage.
 
-    PNG and baseline-JPEG payloads decode for real (``decode_png`` /
-    ``decode_jpeg``) and yield pixel-derived features; anything else (or a
-    malformed/unsupported-profile payload) falls back fail-soft to the
-    deterministic content-derived ``fake_features`` — a bad payload never
-    kills the stage.
+    PNG, baseline-JPEG and GIF payloads decode for real (``decode_png`` /
+    ``decode_jpeg`` / ``decode_gif``) and yield pixel-derived features;
+    anything else (or a malformed/unsupported-profile payload) falls back
+    fail-soft to the deterministic content-derived ``fake_features`` — a
+    bad payload never kills the stage.
     """
+    from .gifcodec import GIF_SIGNATURES, decode_gif
     from .jpegcodec import JPEG_SIGNATURE, decode_jpeg
+
+    decoders = [
+        (lambda d: d.startswith(PNG_SIGNATURE), decode_png),
+        (lambda d: d.startswith(JPEG_SIGNATURE), decode_jpeg),
+        (lambda d: d[:6] in GIF_SIGNATURES, decode_gif),
+    ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[dict[str, Any]] = []
             for url, payload, meta in zip(pdf["url"], pdf[payload_col], pdf[meta_col]):
                 data = bytes(payload) if payload is not None else b""
-                if data.startswith(PNG_SIGNATURE):
-                    try:
-                        vec = pixel_features(decode_png(data), dim)
-                    except Exception:
-                        vec = fake_features(data, dim)
-                elif data.startswith(JPEG_SIGNATURE):
-                    try:
-                        vec = pixel_features(decode_jpeg(data), dim)
-                    except Exception:
-                        vec = fake_features(data, dim)
+                for sniff, dec in decoders:
+                    if sniff(data):
+                        try:
+                            vec = pixel_features(dec(data), dim)
+                        except Exception:
+                            vec = fake_features(data, dim)
+                        break
                 else:
                     vec = fake_features(data, dim)
                 out.append(
@@ -293,8 +302,10 @@ def resize_images(
     math + Arrow batch shape are real; the pixel resample itself is the same
     stubbed codec boundary as ``decode_image`` (the output row carries the
     input content hash in place of resized bytes). Missing metadata
-    dimensions are recovered from the PNG IHDR or the JPEG SOF header;
-    otherwise dimension-less rows pass through at scale 1.0."""
+    dimensions are recovered from the PNG IHDR, the JPEG SOF header or the
+    GIF screen descriptor; otherwise dimension-less rows pass through at
+    scale 1.0."""
+    from .gifcodec import gif_dimensions
     from .jpegcodec import jpeg_dimensions
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -305,8 +316,11 @@ def resize_images(
                 w = meta.get("width")
                 h = meta.get("height")
                 if (not w or not h) and payload is not None:
-                    dims = png_dimensions(bytes(payload)) or jpeg_dimensions(
-                        bytes(payload)
+                    data = bytes(payload)
+                    dims = (
+                        png_dimensions(data)
+                        or jpeg_dimensions(data)
+                        or gif_dimensions(data)
                     )
                     if dims is not None:
                         w, h = dims

@@ -116,7 +116,7 @@ def test_decode_image_dispatch_jpeg():
     out = decode_image(encode_jpeg(img))
     assert out.shape == (10, 12, 1) and int(out.max()) == 200
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a....")
+        decode_image(b"RIFF....WEBPVP8 ")
 
 
 def test_media_features_use_real_jpeg_pixels(spark):

@@ -145,11 +145,13 @@ def test_png_dimensions_header_only():
 def test_decode_image_dispatch():
     img = _gradient(3, 3, 3)
     assert np.array_equal(decode_image(encode_png(img)), img)
-    # JPEG is a real codec since round 4: malformed JPEG = data error
+    # JPEG and GIF are real codecs since round 4: malformed = data error
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a malformed stream")
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a no codec in container")
+        decode_image(b"RIFF....WEBP no codec in container")
 
 
 def test_media_features_use_real_pixels(spark):
