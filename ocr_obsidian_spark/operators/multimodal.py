@@ -5,11 +5,12 @@ metadata struct; decode / feature-extraction / resize / frame-sampling are
 Arrow-batched ``mapInPandas`` stages. PNG payloads decode for REAL with a
 pure-stdlib decoder (``decode_png``: zlib inflate + scanline unfiltering),
 baseline JPEG with ``jpegcodec.decode_jpeg`` (Huffman + dequant + IDCT)
-and GIF first-frames with ``gifcodec.decode_gif`` (LZW + palettes +
-interlace) — all three specs are public knowledge, no PIL needed. The
-remaining codecs (WebP/AVIF/TIFF, audio, video) are a STUBBED boundary in
-this container (no ffmpeg) and fall back to deterministic content-derived
-fake features, so the distributed path is exercised end-to-end either way.
+GIF first-frames with ``gifcodec.decode_gif`` (LZW + palettes +
+interlace), and WAV/PCM audio with ``wavcodec.decode_wav`` — all public
+specs, no PIL/ffmpeg needed. The remaining codecs (WebP/AVIF/TIFF,
+MP3/AAC, video) are a STUBBED boundary in this container and fall back to
+deterministic content-derived fake features, so the distributed path is
+exercised end-to-end either way.
 """
 
 from __future__ import annotations
@@ -239,17 +240,23 @@ def extract_media_features(
 
     PNG, baseline-JPEG and GIF payloads decode for real (``decode_png`` /
     ``decode_jpeg`` / ``decode_gif``) and yield pixel-derived features;
+    WAV/PCM audio decodes via ``wavcodec`` into level/duration features;
     anything else (or a malformed/unsupported-profile payload) falls back
     fail-soft to the deterministic content-derived ``fake_features`` — a
     bad payload never kills the stage.
     """
     from .gifcodec import GIF_SIGNATURES, decode_gif
     from .jpegcodec import JPEG_SIGNATURE, decode_jpeg
+    from .wavcodec import audio_features
 
     decoders = [
-        (lambda d: d.startswith(PNG_SIGNATURE), decode_png),
-        (lambda d: d.startswith(JPEG_SIGNATURE), decode_jpeg),
-        (lambda d: d[:6] in GIF_SIGNATURES, decode_gif),
+        (lambda d: d.startswith(PNG_SIGNATURE),
+         lambda d, n: pixel_features(decode_png(d), n)),
+        (lambda d: d.startswith(JPEG_SIGNATURE),
+         lambda d, n: pixel_features(decode_jpeg(d), n)),
+        (lambda d: d[:6] in GIF_SIGNATURES,
+         lambda d, n: pixel_features(decode_gif(d), n)),
+        (lambda d: d[:4] == b"RIFF" and d[8:12] == b"WAVE", audio_features),
     ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -257,10 +264,10 @@ def extract_media_features(
             out: list[dict[str, Any]] = []
             for url, payload, meta in zip(pdf["url"], pdf[payload_col], pdf[meta_col]):
                 data = bytes(payload) if payload is not None else b""
-                for sniff, dec in decoders:
+                for sniff, feat in decoders:
                     if sniff(data):
                         try:
-                            vec = pixel_features(dec(data), dim)
+                            vec = feat(data, dim)
                         except Exception:
                             vec = fake_features(data, dim)
                         break
