@@ -182,6 +182,19 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray:
                     out_rows[r] = grid[src]
                     src += 1
             grid = out_rows
+        # compose onto the logical screen so the decoded shape always
+        # equals gif_dimensions (sub-canvas first frames are real); the
+        # uncovered area takes the background color index (best effort —
+        # clamped into the active table)
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame exceeds the logical screen")
+        if (left, top, w, h) != (0, 0, int(sw), int(sh)):
+            bg = payload[11]
+            if bg >= ct.shape[0]:
+                bg = 0
+            canvas = np.full((sh, sw), bg, dtype=np.uint8)
+            canvas[top : top + h, left : left + w] = grid
+            grid = canvas
         rgb = ct[grid]
         if transparent is not None and transparent < ct.shape[0]:
             alpha = np.where(grid == transparent, 0, 255).astype(np.uint8)
@@ -216,6 +229,8 @@ def encode_gif(
     h, w = indices.shape
     if h == 0 or w == 0:
         raise ValueError("empty fixture image")
+    if transparent_index is not None and not 0 <= transparent_index <= 255:
+        raise ValueError("transparent_index must fit a GIF color index (0-255)")
     # palette size = power of two >= max(4, needed)
     need = max(4, int(palette.shape[0]), (transparent_index or 0) + 1)
     size_exp = max(1, (need - 1).bit_length())

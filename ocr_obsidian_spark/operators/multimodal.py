@@ -173,6 +173,22 @@ def png_dimensions(payload: bytes) -> tuple[int, int] | None:
     return (int(w), int(h))
 
 
+def image_codecs() -> list[tuple]:
+    """The ONE image-codec registry every dispatch site uses:
+    ``(sniff(bytes) -> bool, decode(bytes) -> ndarray,
+    dimensions(bytes) -> (w, h) | None)`` per format. Adding a codec here
+    wires decode_image, extract_media_features and resize_images at
+    once."""
+    from .gifcodec import GIF_SIGNATURES, decode_gif, gif_dimensions
+    from .jpegcodec import JPEG_SIGNATURE, decode_jpeg, jpeg_dimensions
+
+    return [
+        (lambda d: d.startswith(PNG_SIGNATURE), decode_png, png_dimensions),
+        (lambda d: d.startswith(JPEG_SIGNATURE), decode_jpeg, jpeg_dimensions),
+        (lambda d: d[:6] in GIF_SIGNATURES, decode_gif, gif_dimensions),
+    ]
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to a (H, W, C) uint8 array.
 
@@ -182,15 +198,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     codec library (PIL/opencv/ffmpeg) not installed in this container —
     the pipeline falls back to ``fake_features`` for them (see
     ``extract_media_features``)."""
-    from .gifcodec import GIF_SIGNATURES, decode_gif
-    from .jpegcodec import JPEG_SIGNATURE, decode_jpeg
-
-    if payload.startswith(PNG_SIGNATURE):
-        return decode_png(payload)
-    if payload.startswith(JPEG_SIGNATURE):
-        return decode_jpeg(payload)
-    if payload[:6] in GIF_SIGNATURES:
-        return decode_gif(payload)
+    for sniff, dec, _dims in image_codecs():
+        if sniff(payload):
+            return dec(payload)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - container has no PIL
@@ -245,17 +255,12 @@ def extract_media_features(
     fail-soft to the deterministic content-derived ``fake_features`` — a
     bad payload never kills the stage.
     """
-    from .gifcodec import GIF_SIGNATURES, decode_gif
-    from .jpegcodec import JPEG_SIGNATURE, decode_jpeg
     from .wavcodec import audio_features
 
     decoders = [
-        (lambda d: d.startswith(PNG_SIGNATURE),
-         lambda d, n: pixel_features(decode_png(d), n)),
-        (lambda d: d.startswith(JPEG_SIGNATURE),
-         lambda d, n: pixel_features(decode_jpeg(d), n)),
-        (lambda d: d[:6] in GIF_SIGNATURES,
-         lambda d, n: pixel_features(decode_gif(d), n)),
+        (sniff, lambda d, n, dec=dec: pixel_features(dec(d), n))
+        for sniff, dec, _dims in image_codecs()
+    ] + [
         (lambda d: d[:4] == b"RIFF" and d[8:12] == b"WAVE", audio_features),
     ]
 
@@ -312,8 +317,7 @@ def resize_images(
     dimensions are recovered from the PNG IHDR, the JPEG SOF header or the
     GIF screen descriptor; otherwise dimension-less rows pass through at
     scale 1.0."""
-    from .gifcodec import gif_dimensions
-    from .jpegcodec import jpeg_dimensions
+    codecs = image_codecs()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -324,13 +328,11 @@ def resize_images(
                 h = meta.get("height")
                 if (not w or not h) and payload is not None:
                     data = bytes(payload)
-                    dims = (
-                        png_dimensions(data)
-                        or jpeg_dimensions(data)
-                        or gif_dimensions(data)
-                    )
-                    if dims is not None:
-                        w, h = dims
+                    for _sniff, _dec, dims_fn in codecs:
+                        dims = dims_fn(data)
+                        if dims is not None:
+                            w, h = dims
+                            break
                 if w and h and max(int(w), int(h)) > max_side:
                     scale = max_side / float(max(int(w), int(h)))
                     ow = max(1, int(round(int(w) * scale)))

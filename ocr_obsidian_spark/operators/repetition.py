@@ -73,13 +73,17 @@ def _dup_unit_frac(units: list[str]) -> float:
     return dup / total
 
 
-def _one_doc(raw: str, norm: str) -> dict[str, float]:
-    out: dict[str, float] = {}
-    out["dup_line_char_frac"] = _dup_unit_frac(raw.split("\n"))
-    out["dup_para_char_frac"] = _dup_unit_frac(raw.split("\n\n"))
-    toks = norm.split(" ") if norm else []
-    m = len(toks)
-    total = len(norm)
+# above this token count the n-gram passes switch from python Counters of
+# joined strings (fast for typical pages, but the joined-string transients
+# are ~sum(n)≈54x the text plus per-object overhead — hundreds of MB on a
+# 10^7-byte skew-tail page) to the numpy path: token-id windows via a
+# zero-copy sliding_window_view + np.unique row counting, whose transient
+# is a packed (m, n) int32 sort copy (~10x smaller). Outputs are
+# IDENTICAL (pinned by test_gopher_repetition_numpy_path_matches_counter).
+_NUMPY_MIN_TOKENS = 4096
+
+
+def _ngram_stats_counter(toks: list[str], m: int, total: int, out: dict) -> None:
     lens = [len(t) for t in toks]
     for n in TOP_NS:
         col = f"top_{n}gram_char_frac"
@@ -101,8 +105,59 @@ def _one_doc(raw: str, norm: str) -> dict[str, float]:
         for i, g in enumerate(grams):
             if counts[g] > 1:
                 covered[i : i + n] = b"\x01" * n
-        num = sum(ln for ln, cov in zip(lens, covered) if cov)
-        out[col] = num / total
+        out[col] = sum(ln for ln, cov in zip(lens, covered) if cov) / total
+
+
+def _ngram_stats_numpy(toks: list[str], m: int, total: int, out: dict) -> None:
+    import numpy as np
+
+    ids_map: dict[str, int] = {}
+    ids = np.empty(m, dtype=np.int32)
+    for i, t in enumerate(toks):
+        ids[i] = ids_map.setdefault(t, len(ids_map))
+    tok_list = list(ids_map)
+    tok_lens = np.fromiter(
+        (len(t) for t in tok_list), dtype=np.int64, count=len(tok_list)
+    )
+    for n in (*TOP_NS, *DUP_NS):
+        is_top = n in TOP_NS
+        col = f"top_{n}gram_char_frac" if is_top else f"dup_{n}gram_char_frac"
+        if total == 0 or m < n:
+            out[col] = 0.0
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(ids, n)
+        uniq, inv, counts = np.unique(
+            win, axis=0, return_inverse=True, return_counts=True
+        )
+        inv = inv.reshape(-1)
+        if is_top:
+            best = int(counts.max())
+            # exact joined-string tie-break, materialized ONLY for the
+            # (few) max-count candidates
+            cand = uniq[counts == best]
+            top = min(" ".join(tok_list[j] for j in row) for row in cand)
+            out[col] = best * len(top) / total
+        else:
+            starts = np.nonzero(counts[inv] > 1)[0]
+            # union coverage of [i, i+n) intervals via a prefix-sum delta
+            delta = np.zeros(m + n + 1, dtype=np.int64)
+            np.add.at(delta, starts, 1)
+            np.add.at(delta, starts + n, -1)
+            covered = np.cumsum(delta[:m]) > 0
+            out[col] = int(tok_lens[ids[covered]].sum()) / total
+
+
+def _one_doc(raw: str, norm: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    out["dup_line_char_frac"] = _dup_unit_frac(raw.split("\n"))
+    out["dup_para_char_frac"] = _dup_unit_frac(raw.split("\n\n"))
+    toks = norm.split(" ") if norm else []
+    m = len(toks)
+    total = len(norm)
+    if m >= _NUMPY_MIN_TOKENS:
+        _ngram_stats_numpy(toks, m, total, out)
+    else:
+        _ngram_stats_counter(toks, m, total, out)
     return out
 
 

@@ -36,6 +36,10 @@ def _parse_wav(payload: bytes) -> tuple[dict, bytes]:
             fmt = {"tag": tag, "channels": ch, "rate": rate,
                    "block": block, "bits": bits}
         elif cid == b"data":
+            if len(body) != size:
+                # a truncated payload must FAIL (and fail over to the
+                # fake-features fallback), not decode partial audio
+                raise ValueError("truncated WAV data chunk")
             data = body
             break
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -94,7 +98,9 @@ def wav_info(payload: bytes) -> tuple[int, int, int] | None:
         fmt, data = _parse_wav(payload)
     except ValueError:
         return None
-    bytes_per_frame = max(1, fmt["block"]) or 1
+    # block-align of 0 is a header bug some writers ship: fall back to the
+    # value the sample layout implies instead of a garbage frame count
+    bytes_per_frame = fmt["block"] or max(1, fmt["channels"] * fmt["bits"] // 8)
     frames = len(data) // bytes_per_frame
     return (int(frames * 1000 / fmt["rate"]), fmt["rate"], fmt["channels"])
 

@@ -89,3 +89,33 @@ def test_media_features_use_real_gif_pixels(spark):
     )
     [r] = extract_media_features(df).collect()
     assert r["feature_vec"] == pytest.approx(pixel_features(decode_gif(good)))
+
+
+def test_sub_canvas_frame_composes_onto_logical_screen():
+    """A first frame smaller than the logical screen must decode to the
+    SCREEN size (matching gif_dimensions), placed at (left, top) over the
+    background color."""
+    import struct
+
+    img = np.array([[1, 2], [3, 1]], dtype=np.uint8)
+    b = bytearray(encode_gif(img))
+    b[6:10] = struct.pack("<HH", 6, 5)  # logical screen 6x5
+    b[11] = 0  # background index
+    i = 13 + 3 * 256  # header + 256-color identity palette -> descriptor
+    assert b[i] == 0x2C
+    b[i + 1 : i + 5] = struct.pack("<HH", 2, 1)  # frame at (left=2, top=1)
+    out = decode_gif(bytes(b))
+    assert out.shape == (5, 6, 3)
+    assert gif_dimensions(bytes(b)) == (6, 5)
+    assert int(out[1, 2, 0]) == 1 and int(out[2, 3, 0]) == 1  # frame pixels
+    assert int(out[0, 0, 0]) == 0  # background
+    # a frame exceeding the screen is malformed
+    b[i + 1 : i + 5] = struct.pack("<HH", 5, 4)
+    with pytest.raises(ValueError):
+        decode_gif(bytes(b))
+
+
+def test_encode_rejects_out_of_range_transparent_index():
+    img = np.zeros((2, 2), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        encode_gif(img, transparent_index=256)

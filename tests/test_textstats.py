@@ -305,3 +305,26 @@ def test_gopher_repetition_top_gram_and_coverage_exact(spark):
     rows = [(1, "x x x x x x x")]
     [r] = with_gopher_repetition(spark.createDataFrame(rows, "doc_id long, text string")).collect()
     assert r["dup_5gram_char_frac"] == round(7 / 13, 6)
+
+
+def test_gopher_repetition_numpy_path_matches_counter():
+    """The large-doc numpy n-gram path must be bit-identical to the
+    Counter path (same counts, same tie-breaks, same union coverage)."""
+    import random
+
+    from ocr_obsidian_spark.operators.repetition import (
+        _ngram_stats_counter,
+        _ngram_stats_numpy,
+    )
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(12)] + ["a", "ab", "b"]  # prefix ties
+    for trial in range(20):
+        m = rng.randrange(10, 400)
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(m)]
+        norm = " ".join(toks)
+        a: dict = {}
+        b: dict = {}
+        _ngram_stats_counter(toks, m, len(norm), a)
+        _ngram_stats_numpy(toks, m, len(norm), b)
+        assert a == b, (trial, m)

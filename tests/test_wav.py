@@ -81,3 +81,18 @@ def test_media_features_use_real_audio(spark):
     assert got["a1"]["feature_vec"][4] == pytest.approx(0.8, abs=0.01)
     # truncated payload: fail-soft, stage alive
     assert got["a2"]["feature_vec"] != pytest.approx(audio_features(good))
+
+
+def test_truncated_data_chunk_is_a_value_error():
+    b = encode_wav(_sine(), 44100)
+    with pytest.raises(ValueError):
+        decode_wav(b[: len(b) // 2])
+
+
+def test_wav_info_survives_zero_block_align():
+    import struct
+
+    b = bytearray(encode_wav(_sine(n=441), 44100))
+    i = bytes(b).find(b"fmt ")
+    b[i + 20 : i + 22] = struct.pack("<H", 0)  # block align = 0
+    assert wav_info(bytes(b)) == (10, 44100, 1)
