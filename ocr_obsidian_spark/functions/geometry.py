@@ -83,19 +83,22 @@ def group_lines(
     # the per-word dict field accesses were ~20% of this function
     cluster_words: list[list[dict[str, Any]]] = []
     cluster_sum: list[float] = []
-    # means kept twice: a plain-float list for the small-k loop (numpy
-    # scalar reads cost ~5× a float compare) and a numpy mirror for the
-    # vectorized path — same float64 values, so identical comparisons
-    means = np.empty(len(keyed), dtype=np.float64)
+    # means kept as a plain-float list for the small-k loop (numpy scalar
+    # reads cost ~5× a float compare); the numpy mirror for the
+    # vectorized first-match is built LAZILY when the cluster count first
+    # crosses the threshold — the typical ≈10-line page never pays the
+    # array allocation or the per-word numpy writes. Same float64 values
+    # either way, so identical comparisons.
+    means: np.ndarray | None = None
     means_f: list[float] = []
     k = 0
     tol = float(y_tolerance_px)
-    # hybrid search: plain loop while the cluster count is small (typical
-    # page ≈ 10 lines — numpy call overhead would dominate), numpy
-    # first-match beyond that; identical float64 comparisons either way
     for cy, _, _, w in keyed:
         matched = -1
         if k > 48:
+            if means is None:
+                means = np.empty(len(keyed), dtype=np.float64)
+                means[:k] = means_f
             hit = np.abs(means[:k] - cy) <= tol
             i = int(hit.argmax())
             if hit[i]:
@@ -111,12 +114,14 @@ def group_lines(
             s = cluster_sum[matched] + cy
             cluster_sum[matched] = s
             m = s / len(wl)
-            means[matched] = m
+            if means is not None:
+                means[matched] = m
             means_f[matched] = m
         else:
             cluster_words.append([w])
             cluster_sum.append(cy)
-            means[k] = cy
+            if means is not None:
+                means[k] = cy
             means_f.append(cy)
             k += 1
 

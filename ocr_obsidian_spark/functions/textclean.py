@@ -111,9 +111,15 @@ def clean_line(line: dict[str, Any]) -> str:
         for w in words:
             raw = str(w.get("text", ""))
             conf = float(w.get("confidence", 100.0))
-            # byte-exact fast path: an alphanumeric token contains no
-            # whitespace and none of the strip chars → both ops identity
+            # byte-exact fast paths: an alphanumeric token contains no
+            # whitespace and none of the strip chars (both ops identity),
+            # and at conf >= 85 it can't be junk — every table rule needs
+            # pipes/backslashes (absent), a non-alnum single char
+            # (impossible) or conf < 85 (spew/short-alpha/alpha-ratio)
             if raw.isalnum():
+                if conf >= 85.0:
+                    kept.append(raw)
+                    continue
                 token = raw
             else:
                 token = normalize_spaces(raw).strip("|\\()")
