@@ -145,8 +145,11 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray:
             label = payload[pos]
             pos += 1
             data, pos = _read_subblocks(payload, pos)
-            if label == 0xF9 and len(data) >= 4 and data[0] & 0x01:
-                transparent = data[3]
+            if label == 0xF9 and len(data) >= 4:
+                # a GCE applies only to the block that follows it
+                # (GIF89a §23): a clear transparency flag must RESET any
+                # index set by an earlier GCE, not leave it dangling
+                transparent = data[3] if data[0] & 0x01 else None
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02X}")

@@ -45,6 +45,20 @@ def test_transparency_returns_rgba():
     assert np.array_equal(out[:, :, 3], np.where(img == 0, 0, 255))
 
 
+def test_clear_gce_resets_stale_transparency():
+    # GIF89a §23: a graphics-control extension applies only to the block
+    # that FOLLOWS it — a later GCE with the transparency flag clear must
+    # reset an index set by an earlier one, so the frame decodes RGB.
+    img = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    payload = encode_gif(img, transparent_index=0)
+    set_gce = bytes([0x21, 0xF9, 4, 0x01, 0, 0, 0, 0])
+    assert set_gce in payload
+    clear_gce = bytes([0x21, 0xF9, 4, 0x00, 0, 0, 0, 0])
+    patched = payload.replace(set_gce, set_gce + clear_gce, 1)
+    out = decode_gif(patched)
+    assert out.shape == (2, 2, 3)  # RGBA would mean stale transparency
+
+
 def test_gif_dimensions_header_only():
     img = np.zeros((37, 53), dtype=np.uint8)
     assert gif_dimensions(encode_gif(img)) == (53, 37)
