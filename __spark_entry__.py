@@ -1024,6 +1024,37 @@ def q_quality_tiers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_substr_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr-style repeated-substring removal (Lee et al. 2021,
+    shingle-anchored distributed approximation — substrdedup.py) with
+    deterministically planted shared passages: passage A on every fifth
+    doc, passage B on every seventh, a unique numeric tail everywhere.
+    Natural cross-document 8-grams in the corpus text are removed too —
+    the oracle replays the full semantics, not just the plants."""
+    from ocr_obsidian_spark.operators.substrdedup import drop_duplicated_substrings
+
+    d = _t(spark, sf, "documents", spread=True)
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" boilerplate passage alpha beta gamma delta epsilon zeta"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 1,
+                F.lit(" repeated footer one two three four five six seven eight"),
+            ).otherwise(F.lit("")),
+            F.lit(" unique tail "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return drop_duplicated_substrings(
+        injected, width=8, min_docs=2, out_col="clean_text"
+    ).select("doc_id", "clean_text", "n_words_kept", "n_words_dropped")
+
+
 def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Line-level boilerplate removal with deterministically injected
     cross-document footers (the raw corpus is single-line): a footer on
@@ -1170,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": q_unicode_nfc,
         "repetition_stats": q_repetition_stats,
         "quality_tiers": q_quality_tiers,
+        "substr_dedup": q_substr_dedup,
         "line_dedup": q_line_dedup,
         "html_blocks": q_html_blocks,
         "html_extract": q_html_extract,
@@ -2282,6 +2314,56 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY lang ORDER BY q_score DESC, doc_id
                    ) AS BIGINT) AS tier
             FROM s
+        """,
+        # replay of substrdedup.drop_duplicated_substrings: 8-word
+        # shingles (list_slice is 1-based inclusive), md5 anchors (the
+        # one hash both engines share bit-for-bit), covered positions via
+        # a constant generate_series cross join (lateral over a column
+        # errors — round-3 trickbox), rebuild with NULL-skipping
+        # string_agg ordered by position
+        "substr_dedup": f"""
+            WITH inj AS (
+                SELECT doc_id,
+                       coalesce(text, '')
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' boilerplate passage alpha beta gamma delta epsilon zeta'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 7 = 1
+                               THEN ' repeated footer one two three four five six seven eight'
+                               ELSE '' END
+                       || ' unique tail ' || CAST(doc_id AS VARCHAR) AS text
+                FROM documents),
+            n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM inj),
+            w AS (SELECT doc_id,
+                         CASE WHEN norm = '' THEN []::VARCHAR[]
+                              ELSE string_split(norm, ' ') END AS ws
+                  FROM n),
+            occ AS (SELECT doc_id, i - 1 AS pos,
+                           md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS h
+                    FROM (SELECT doc_id, ws,
+                                 unnest(generate_series(1, len(ws) - 7)) AS i
+                          FROM w WHERE len(ws) >= 8)),
+            dup AS (SELECT h FROM occ GROUP BY h
+                    HAVING count(DISTINCT doc_id) >= 2),
+            cp AS (SELECT DISTINCT o.doc_id, o.pos + g.j AS cp
+                   FROM occ o JOIN dup USING (h)
+                   CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g),
+            wp AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word
+                   FROM (SELECT doc_id, ws,
+                                unnest(generate_series(1, len(ws))) AS i
+                         FROM w WHERE len(ws) > 0)),
+            agg AS (SELECT wp.doc_id,
+                           string_agg(CASE WHEN c.cp IS NULL THEN word END,
+                                      ' ' ORDER BY wp.pos) AS clean_text,
+                           count(*) FILTER (WHERE c.cp IS NULL) AS kept,
+                           count(*) FILTER (WHERE c.cp IS NOT NULL) AS dropped
+                    FROM wp LEFT JOIN cp c
+                        ON wp.doc_id = c.doc_id AND wp.pos = c.cp
+                    GROUP BY wp.doc_id)
+            SELECT n.doc_id, coalesce(a.clean_text, '') AS clean_text,
+                   CAST(coalesce(a.kept, 0) AS BIGINT) AS n_words_kept,
+                   CAST(coalesce(a.dropped, 0) AS BIGINT) AS n_words_dropped
+            FROM n LEFT JOIN agg a ON n.doc_id = a.doc_id
         """,
         "line_dedup": """
             WITH inj AS (

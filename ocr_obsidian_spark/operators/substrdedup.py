@@ -1,0 +1,141 @@
+"""Cross-document repeated-substring removal (ExactSubstr-style dedup).
+
+Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+Better", removes every substring above a length threshold that occurs
+verbatim more than once in the corpus (their ExactSubstr tool; public
+knowledge). Their implementation builds a corpus-wide suffix array — a
+global sorted structure no Spark job should attempt. This module ships
+the standard distributed approximation, shaped like
+``webprep.drop_duplicated_lines``:
+
+  * anchor every duplicated passage by its fixed-width word shingles
+    (``width`` consecutive normalized words, stride 1 — any shared
+    passage of >= ``width`` words contains at least one shared shingle,
+    and every word of a shared passage of >= 2*width-1 words is covered;
+    passages shorter than ``width`` words are below the removal
+    threshold by definition, mirroring ExactSubstr's 50-char floor);
+  * a shingle shared by >= ``min_docs`` DISTINCT documents marks all its
+    occurrences' word positions as duplicated (remove-ALL-copies, the
+    ExactSubstr policy — boilerplate passages should survive in zero
+    documents, not one arbitrary winner);
+  * each document is rebuilt from its uncovered words in original order.
+
+Scale shape (narrow rows everywhere; the wide text column never rides
+past the per-document scan projection):
+
+  1. map-side shingling — ``transform`` over a materialized split-words
+     column builds the md5 anchor array with zero shuffles, then ONE
+     posexplode emits (doc, pos, hash) rows (16-byte hash, not text);
+  2. groupBy(hash) countDistinct(doc) with map-side partial aggregation
+     → the duplicated-anchor set (post-filter minority);
+  3. left-semi join of occurrences against that set on the SAME hash key
+     (co-partitioned with the aggregation output);
+  4. groupBy(doc) collect_set of covered positions — bounded by the
+     document's own word count, so the per-group state is O(doc), never
+     O(corpus);
+  5. join the narrow (doc, covered-positions) rows back to the corpus on
+     doc id and excise map-side with a position filter.
+
+No all-pairs step, no global sort, no window. Unlike suffix-array
+ExactSubstr this never materializes anything proportional to corpus² —
+the only corpus-sized intermediate is the (doc, pos, hash) explode,
+which is linear in corpus token count exactly like the MinHash shingle
+pass in dedup.py.
+
+Reference tie-in: the reference deduplicates at whole-span granularity
+only (ingest/spans.py merge step); it has no sub-document text dedup —
+this operator is part of the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import _norm
+
+
+def drop_duplicated_substrings(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_docs: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove every ``width``-word shingle (and thus every shared passage
+    of >= ``width`` words) that appears in >= ``min_docs`` distinct
+    documents; rebuild each document from the surviving words.
+
+    Returns one row per input row:
+    ``(id_col, out_col, n_words_kept, n_words_dropped)`` — ``out_col``
+    (default ``text_col``) is the normalized rebuilt text, empty string
+    when the whole document was duplicated passage.
+
+    Text is whitespace-normalized + lowercased first (the shared
+    textstats normal form), so the output is in normal form — callers
+    that must preserve raw bytes should map positions back themselves;
+    corpus-prep pipelines dedup *after* normalization anyway.
+    """
+    if width < 2:
+        raise ValueError("width must be >= 2 words")
+    out = out_col or text_col
+
+    words = (
+        df.select(F.col(id_col), _norm(text_col).alias("_norm"))
+        .withColumn(
+            "_ws",
+            F.when(F.length("_norm") == 0, F.array().cast("array<string>"))
+            .otherwise(F.split(F.col("_norm"), " ")),
+        )
+        .drop("_norm")
+    )
+
+    # anchor hashes, built map-side: _ws is a materialized column (NOT an
+    # inline split() expression) so the HOF lambda captures a cheap
+    # attribute — an expression subtree would re-evaluate per element
+    shingles = F.when(
+        F.size("_ws") >= width,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_ws") - width),
+            lambda i: F.md5(F.array_join(F.slice("_ws", i + 1, width), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    occ = words.select(
+        F.col(id_col), F.posexplode(shingles).alias("_pos", "_h")
+    )
+    dup = (
+        occ.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= int(min_docs))
+        .select("_h")
+    )
+    covered = (
+        occ.join(dup, "_h", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("_pos"), F.col("_pos") + width - 1)).alias("_cp"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("_cp")).alias("_cov"))
+    )
+
+    joined = words.join(covered, id_col, "left").withColumn(
+        "_cov", F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.transform("_ws", lambda w, i: F.struct(w.alias("w"), i.alias("i"))),
+        lambda x: ~F.array_contains(F.col("_cov"), x["i"]),
+    )
+    staged = joined.select(
+        F.col(id_col),
+        F.size("_ws").alias("_n"),
+        kept.alias("_kept"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.array_join(F.transform("_kept", lambda x: x["w"]), " ").alias(out),
+        F.size("_kept").cast("long").alias("n_words_kept"),
+        (F.col("_n") - F.size("_kept")).cast("long").alias("n_words_dropped"),
+    )

@@ -183,6 +183,27 @@ def test_line_dedup_shuffles_hashed_keys_not_line_strings(spark):
     assert "hashpartitioning(_k#" in p or "hashpartitioning(_k " in p
 
 
+def test_substr_dedup_three_narrow_shuffles(spark):
+    """drop_duplicated_substrings: exactly three hash exchanges — the
+    duplicate-anchor aggregation and the occurrence semi-join both keyed
+    on the 16-byte md5 anchor, the coverage rollup on doc id. The wide
+    text column must never ride past the scan projections (the explode
+    branch carries only (doc, pos, hash))."""
+    import re
+
+    from ocr_obsidian_spark.operators.substrdedup import drop_duplicated_substrings
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_str(drop_duplicated_substrings(docs), mode="simple")
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", p)
+    assert sorted(k.split("#")[0] for k in keys) == ["_h", "_h", "doc_id"], keys
+    # below the posexplode only narrow columns survive
+    gen = p[p.index("posexplode"):]
+    first_line = gen.split("\n")[0]
+    assert "_pos" in gen and "_h" in gen
+    assert "text#" not in first_line
+
+
 def test_large_blocklist_corpus_never_shuffles(spark):
     """Large-list filter_blocked_domains: after AQE finalizes, the corpus
     side anti-joins a BROADCAST of the blocked-host set — the corpus scan
