@@ -1024,6 +1024,29 @@ def q_quality_tiers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lm_ppl(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lm.py): per-document
+    token count, exact integer micro-nll under the checked-in quantized
+    KN-bigram fixture model, and a head/middle/tail perplexity band from
+    fixed integer cutoffs (2.37 / 2.40 avg -log10 cost per token —
+    chosen to split the sf corpus non-degenerately). Integer-only output:
+    the float perplexity never enters the hash."""
+    from ocr_obsidian_spark.operators.lm import with_lm_perplexity
+
+    d = _t(spark, sf, "documents", spread=True)
+    scored = with_lm_perplexity(d)
+    n, c = F.col("n_tokens"), F.col("nll_micro")
+    band = (
+        F.when(n == 0, -1)
+        .when(c <= 2_370_000 * n, 0)
+        .when(c <= 2_400_000 * n, 1)
+        .otherwise(2)
+    )
+    return scored.select(
+        "doc_id", "n_tokens", "nll_micro", band.cast("long").alias("ppl_band")
+    )
+
+
 def q_substr_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """ExactSubstr-style repeated-substring removal (Lee et al. 2021,
     shingle-anchored distributed approximation — substrdedup.py) with
@@ -1202,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "quality_tiers": q_quality_tiers,
         "substr_dedup": q_substr_dedup,
+        "lm_ppl": q_lm_ppl,
         "line_dedup": q_line_dedup,
         "html_blocks": q_html_blocks,
         "html_extract": q_html_extract,
@@ -1240,6 +1264,55 @@ from ocr_obsidian_spark.operators.xengine import WS_RE as _WS_RE  # noqa: E402
 _NORM_SQL = (
     f"lower(trim(regexp_replace(coalesce(text, ''), '{_WS_RE}', ' ', 'g')))"
 )
+
+
+def _lm_ppl_sql() -> str:
+    """DuckDB replay of q_lm_ppl: the quantized KN-bigram fixture model
+    (operators/lm.py — trained at import from the embedded corpus, so
+    both engines consume the SAME integer tables) embedded as VALUES
+    literals; scoring = seen-bigram lookup else integer backoff+cont
+    sum, per-doc totals as exact BIGINT sums, band from the same integer
+    cutoffs as the Spark side."""
+    from ocr_obsidian_spark.operators.lm import model_sql_tables
+
+    t = model_sql_tables()
+    return f"""
+        WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+        w AS (SELECT doc_id, string_split(norm, ' ') AS ws
+              FROM n WHERE norm <> ''),
+        tok AS (SELECT doc_id, i, ws[i] AS cur,
+                       CASE WHEN i = 1 THEN '<s>' ELSE ws[i-1] END AS prev
+                FROM (SELECT doc_id, ws,
+                             unnest(generate_series(1, len(ws))) AS i
+                      FROM w)),
+        m AS (SELECT doc_id,
+                     coalesce(vc.tok, '<unk>') AS cur_m,
+                     CASE WHEN prev = '<s>' THEN '<s>'
+                          ELSE coalesce(vp.tok, '<unk>') END AS prev_m
+              FROM tok
+              LEFT JOIN {t['vocab']} AS vc(tok) ON tok.cur = vc.tok
+              LEFT JOIN {t['vocab']} AS vp(tok) ON tok.prev = vp.tok),
+        sc AS (SELECT doc_id,
+                      coalesce(bg.lpm, up.bo_lpm + uc.cont_lpm) AS lpm
+               FROM m
+               LEFT JOIN {t['bigram']} AS bg(u, w, lpm)
+                   ON m.prev_m = bg.u AND m.cur_m = bg.w
+               JOIN {t['uni']} AS up(tok, bo_lpm, cont_lpm)
+                   ON m.prev_m = up.tok
+               JOIN {t['uni']} AS uc(tok, bo_lpm, cont_lpm)
+                   ON m.cur_m = uc.tok),
+        agg AS (SELECT doc_id, count(*) AS nt,
+                       CAST(sum(lpm) AS BIGINT) AS nll
+                FROM sc GROUP BY doc_id)
+        SELECT n.doc_id,
+               CAST(coalesce(a.nt, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(a.nll, 0) AS BIGINT) AS nll_micro,
+               CAST(CASE WHEN coalesce(a.nt, 0) = 0 THEN -1
+                         WHEN a.nll <= 2370000 * a.nt THEN 0
+                         WHEN a.nll <= 2400000 * a.nt THEN 1
+                         ELSE 2 END AS BIGINT) AS ppl_band
+        FROM n LEFT JOIN agg a ON n.doc_id = a.doc_id
+    """
 
 
 def _lsh_ann_sql(dim: int = 64, n_bits: int = 6, n_tables: int = 8, seed: int = 7) -> str:
@@ -2046,6 +2119,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _simhash_md5_sql(),
         "lsh_ann": _lsh_ann_sql(),
+        "lm_ppl": _lm_ppl_sql(),
         "domain_cap": f"""
             WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
             d AS (SELECT doc_id, url,
