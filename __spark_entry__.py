@@ -345,11 +345,17 @@ def q_quality_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    """Stopword-marker language ID per document."""
-    from ocr_obsidian_spark.operators.textstats import with_lang_id
+    """Cascade language ID (operators/langid.py): the 4-language
+    stopword-marker heuristic decides when confident (>= 3 hits, pure
+    codegen); otherwise the 17-language char-n-gram Naive Bayes scores
+    inside the Arrow UDF. ``lang_nb``/``nb_feature_hits`` are NULL where
+    the pre-filter skipped the model — the skip itself is oracled."""
+    from ocr_obsidian_spark.operators.langid import with_language
 
-    d = _t(spark, sf, "documents")
-    return with_lang_id(d).select("doc_id", "lang_id")
+    d = _t(spark, sf, "documents", spread=True)
+    return with_language(d).select(
+        "doc_id", "lang_marker", "lang_nb", "nb_feature_hits", "lang_id"
+    )
 
 
 def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
@@ -1266,6 +1272,72 @@ _NORM_SQL = (
 )
 
 
+def _lang_id_sql() -> str:
+    """DuckDB replay of the q_lang_id cascade: the marker heuristic in
+    plain SQL, the quantized NB model (operators/langid.py — same
+    checked-in tables both engines consume) as VALUES literals, n-grams
+    via codepoint substr (verified equivalent to python slicing across
+    9 scripts in tests/test_langid.py), all scores 64-bit integers,
+    argmin tie-broken on the language code."""
+    from ocr_obsidian_spark.operators.langid import model_sql_tables
+
+    t = model_sql_tables()
+    return f"""
+        WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+        mk AS (
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        ELSE 'es' END AS lang_marker,
+                   greatest(s_en, s_de, s_fr, s_es) AS best
+            FROM (
+                SELECT doc_id,
+                    len(list_filter(w, x -> x IN ('the','and','of','to','is','that'))) AS s_en,
+                    len(list_filter(w, x -> x IN ('der','die','und','das','nicht','ist'))) AS s_de,
+                    len(list_filter(w, x -> x IN ('le','la','les','des','est','une'))) AS s_fr,
+                    len(list_filter(w, x -> x IN ('el','los','las','una','por','que'))) AS s_es
+                FROM (SELECT doc_id, string_split(norm, ' ') AS w FROM n))),
+        pos AS (SELECT doc_id, norm,
+                       unnest(generate_series(1, len(norm))) AS i
+                FROM n WHERE len(norm) > 0),
+        tg AS (SELECT doc_id, substr(norm, i, o.n) AS tg
+               FROM pos CROSS JOIN (VALUES (1), (2), (3)) AS o(n)
+               WHERE i + o.n - 1 <= len(norm)),
+        hits AS (SELECT doc_id, tg.tg
+                 FROM tg JOIN {t['feats']} AS f(tg) ON tg.tg = f.tg),
+        nm AS (SELECT doc_id, count(*) AS m FROM hits GROUP BY doc_id),
+        delta AS (SELECT h.doc_id, s.lang, sum(s.dm) AS dsum
+                  FROM hits h
+                  JOIN {t['sparse']} AS s(tg, lang, dm) ON h.tg = s.tg
+                  GROUP BY h.doc_id, s.lang),
+        score AS (SELECT nm.doc_id, l.lang,
+                         CAST(nm.m * l.def_lpm + coalesce(d.dsum, 0)
+                              AS BIGINT) AS sc
+                  FROM nm CROSS JOIN {t['langs']} AS l(lang, def_lpm)
+                  LEFT JOIN delta d
+                      ON d.doc_id = nm.doc_id AND d.lang = l.lang),
+        nb AS (SELECT doc_id, lang FROM (
+                   SELECT doc_id, lang,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY sc, lang) AS rn
+                   FROM score) WHERE rn = 1)
+        SELECT n.doc_id, mk.lang_marker,
+               CASE WHEN mk.best >= 3 THEN NULL
+                    ELSE coalesce(nb.lang, 'und') END AS lang_nb,
+               CASE WHEN mk.best >= 3 THEN NULL
+                    ELSE CAST(coalesce(nm.m, 0) AS BIGINT)
+                    END AS nb_feature_hits,
+               CASE WHEN mk.best >= 3 THEN mk.lang_marker
+                    ELSE coalesce(nb.lang, 'und') END AS lang_id
+        FROM n
+        JOIN mk ON n.doc_id = mk.doc_id
+        LEFT JOIN nb ON n.doc_id = nb.doc_id
+        LEFT JOIN nm ON n.doc_id = nm.doc_id
+    """
+
+
 def _lm_ppl_sql() -> str:
     """DuckDB replay of q_lm_ppl: the quantized KN-bigram fixture model
     (operators/lm.py — trained at import from the embedded corpus, so
@@ -1994,24 +2066,7 @@ def oracle_sql() -> dict[str, str]:
                        END, 0.0), 6) AS quality_score
             FROM feats
         """,
-        "lang_id": f"""
-            WITH n AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
-            s AS (
-                SELECT doc_id,
-                    len(list_filter(w, x -> x IN ('the','and','of','to','is','that'))) AS s_en,
-                    len(list_filter(w, x -> x IN ('der','die','und','das','nicht','ist'))) AS s_de,
-                    len(list_filter(w, x -> x IN ('le','la','les','des','est','une'))) AS s_fr,
-                    len(list_filter(w, x -> x IN ('el','los','las','una','por','que'))) AS s_es
-                FROM n
-            )
-            SELECT doc_id,
-                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-                        ELSE 'es' END AS lang_id
-            FROM s
-        """,
+        "lang_id": _lang_id_sql(),
         "fingerprint": f"""
             SELECT doc_id, md5({_NORM_SQL}) AS fingerprint_md5 FROM documents
         """,
