@@ -323,10 +323,23 @@ def q_subword_tokens(spark: SparkSession, sf: str) -> DataFrame:
     from ocr_obsidian_spark.operators.tokenize import tokenize_wordpiece
 
     d = _t(spark, sf, "documents", spread=True)
-    return tokenize_wordpiece(d).select(
+    # the corpus is fully ascii-matchable, so plant accented words on
+    # every third doc to force the whole-word fold down BOTH paths
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" résumé café naïveté")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return tokenize_wordpiece(injected, unk_mode="both").select(
         "doc_id",
         F.array_join("wordpiece_tokens", "|").alias("tokens_str"),
         F.col("n_wordpiece_tokens"),
+        F.array_join("wordpiece_tokens_ww", "|").alias("tokens_ww_str"),
+        F.col("n_wordpiece_tokens_ww").alias("n_ww_tokens"),
     )
 
 
@@ -1667,7 +1680,13 @@ def _subword_tokens_sql() -> str:
     return f"""
         WITH RECURSIVE
         v AS (SELECT {lst(init)} AS vi, {lst(cont)} AS vc),
-        nrm AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+        inj AS (SELECT doc_id,
+                       coalesce(text, '')
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' résumé café naïveté' ELSE '' END
+                           AS text
+                FROM documents),
+        nrm AS (SELECT doc_id, {_NORM_SQL} AS norm FROM inj),
         words AS (SELECT doc_id, i AS wpos, toks[i] AS word
                   FROM (SELECT doc_id, toks,
                                unnest(generate_series(1, len(toks))) AS i
@@ -1695,14 +1714,31 @@ def _subword_tokens_sql() -> str:
                   FROM rec, v
                   WHERE pos <= len(word))
         ),
-        fin AS (SELECT doc_id, wpos, acc, cnt FROM rec WHERE pos > len(word)),
+        fin AS (SELECT doc_id, wpos, word, acc, cnt
+                FROM rec WHERE pos > len(word)),
+        -- whole-word [UNK] post-fold: greedy matching is identical in
+        -- both modes up to the first failure, so a word whose
+        -- char-fallback pieces contain [UNK] (or over BERT's 100-char
+        -- cap) collapses to one [UNK]; pieces are lowercase so the
+        -- uppercase marker cannot occur inside a real piece
+        fold AS (SELECT doc_id, wpos, acc, cnt,
+                        CASE WHEN len(word) > 100 OR contains(acc, '[UNK]')
+                             THEN '[UNK]' ELSE acc END AS acc_ww,
+                        CASE WHEN len(word) > 100 OR contains(acc, '[UNK]')
+                             THEN 1 ELSE cnt END AS cnt_ww
+                 FROM fin),
         agg AS (SELECT doc_id,
                        string_agg(CASE WHEN acc <> '' THEN acc END,
                                   '|' ORDER BY wpos) AS ts,
-                       sum(cnt) AS nt
-                FROM fin GROUP BY doc_id)
+                       sum(cnt) AS nt,
+                       string_agg(CASE WHEN acc_ww <> '' THEN acc_ww END,
+                                  '|' ORDER BY wpos) AS ts_ww,
+                       sum(cnt_ww) AS nt_ww
+                FROM fold GROUP BY doc_id)
         SELECT doc_id, coalesce(ts, '') AS tokens_str,
-               CAST(coalesce(nt, 0) AS BIGINT) AS n_wordpiece_tokens
+               CAST(coalesce(nt, 0) AS BIGINT) AS n_wordpiece_tokens,
+               coalesce(ts_ww, '') AS tokens_ww_str,
+               CAST(coalesce(nt_ww, 0) AS BIGINT) AS n_ww_tokens
         FROM agg
     """
 

@@ -19,10 +19,12 @@ same matches over the same vocab):
     non-initial positions match continuation pieces (``##``-prefixed in
     the vocab, emitted with the ``##``);
   * a position with NO match emits ``[UNK]`` and advances ONE character
-    (character fallback) instead of nuking the whole word — corpus
-    statistics stay smooth and the SQL twin stays simple; classic
-    BERT-style whole-word [UNK] is a trivial post-fold if a deployment
-    needs it.
+    (character fallback) by default — corpus statistics stay smooth;
+    ``unk_mode="word"`` gives the classic BERT whole-word [UNK]
+    (incl. the 100-char word cap), computed as a per-word fold over the
+    char-fallback pieces in the same pass — greedy matching is
+    identical in both modes up to the first failure, so the fold is
+    exact (property-pinned).
 
 The tokenizer is an Arrow-batched pandas UDF (the documented
 vectorized-UDF exception class: per-position hash lookups have no
@@ -76,37 +78,78 @@ WORDPIECE_FIXTURE_VOCAB: tuple[str, ...] = tuple(
 )
 
 
-def _wordpiece_udf(vocab: Sequence[str]):
+def _word_pieces(word: str, init, cont, max_i: int, max_c: int) -> list[str]:
+    """Greedy longest-match pieces of one word (character-fallback
+    [UNK] at unmatched positions)."""
+    out: list[str] = []
+    n, pos = len(word), 0
+    while pos < n:
+        table, mx = (init, max_i) if pos == 0 else (cont, max_c)
+        k = min(n - pos, mx)
+        while k > 0 and word[pos : pos + k] not in table:
+            k -= 1
+        if k == 0:
+            out.append(UNK_TOKEN)
+            pos += 1
+        else:
+            piece = word[pos : pos + k]
+            out.append(piece if pos == 0 else "##" + piece)
+            pos += k
+    return out
+
+
+def _fold_whole_word(pieces: list[str], word: str, max_word_chars: int) -> list[str]:
+    """The classic BERT post-fold: a word with ANY unmatched position —
+    or longer than ``max_word_chars`` — becomes one [UNK]. Greedy
+    matching is identical in both modes up to the first failure, so the
+    fold over char-fallback pieces IS whole-word mode (pinned by
+    tests/test_tokenize.py)."""
+    if len(word) > max_word_chars or UNK_TOKEN in pieces:
+        return [UNK_TOKEN]
+    return pieces
+
+
+def _wordpiece_udf(vocab: Sequence[str], *, both: bool = False,
+                   max_word_chars: int = 100):
     init = frozenset(p for p in vocab if not p.startswith("##"))
     cont = frozenset(p[2:] for p in vocab if p.startswith("##") and len(p) > 2)
     max_i = max((len(p) for p in init), default=1)
     max_c = max((len(p) for p in cont), default=1)
 
-    @F.pandas_udf(T.ArrayType(T.StringType(), False))
-    def tok(norm_text: pd.Series) -> pd.Series:
-        def one(text: str | None) -> list[str]:
-            if not text:
-                return []
-            out: list[str] = []
-            for word in text.split(" "):
-                n, pos = len(word), 0
-                while pos < n:
-                    table, mx = (init, max_i) if pos == 0 else (cont, max_c)
-                    k = min(n - pos, mx)
-                    while k > 0 and word[pos : pos + k] not in table:
-                        k -= 1
-                    if k == 0:
-                        out.append(UNK_TOKEN)
-                        pos += 1
-                    else:
-                        piece = word[pos : pos + k]
-                        out.append(piece if pos == 0 else "##" + piece)
-                        pos += k
-            return out
+    if not both:
+        @F.pandas_udf(T.ArrayType(T.StringType(), False))
+        def tok(norm_text: pd.Series) -> pd.Series:
+            def one(text: str | None) -> list[str]:
+                if not text:
+                    return []
+                out: list[str] = []
+                for word in text.split(" "):
+                    out.extend(_word_pieces(word, init, cont, max_i, max_c))
+                return out
 
-        return norm_text.map(one)
+            return norm_text.map(one)
 
-    return tok
+        return tok
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("char", T.ArrayType(T.StringType(), False), False),
+        T.StructField("word", T.ArrayType(T.StringType(), False), False),
+    ]))
+    def tok_both(norm_text: pd.Series) -> pd.DataFrame:
+        chars, words_out = [], []
+        for text in norm_text:
+            c_out: list[str] = []
+            w_out: list[str] = []
+            if text:
+                for word in text.split(" "):
+                    pieces = _word_pieces(word, init, cont, max_i, max_c)
+                    c_out.extend(pieces)
+                    w_out.extend(_fold_whole_word(pieces, word, max_word_chars))
+            chars.append(c_out)
+            words_out.append(w_out)
+        return pd.DataFrame({"char": chars, "word": words_out})
+
+    return tok_both
 
 
 def tokenize_wordpiece(
@@ -115,14 +158,48 @@ def tokenize_wordpiece(
     vocab: Sequence[str] = WORDPIECE_FIXTURE_VOCAB,
     text_col: str = "text",
     tokens_col: str = "wordpiece_tokens",
+    unk_mode: str = "char",
+    max_word_chars: int = 100,
 ) -> DataFrame:
     """Add ``tokens_col`` (array<string>, the WordPiece pieces in order)
     and ``n_wordpiece_tokens`` (long). Normalization runs JVM-side (the
     shared textstats norm expression); only the per-word greedy matching
     is Python. Feed ``n_wordpiece_tokens`` to ``pack_shards(...,
     tokens_col="n_wordpiece_tokens")`` / ``mix_corpus`` for budgets
-    denominated in real tokenizer tokens."""
-    toks = _wordpiece_udf(vocab)(_norm(text_col))
-    return df.withColumn(tokens_col, toks).withColumn(
-        "n_wordpiece_tokens", F.size(tokens_col).cast("long")
+    denominated in real tokenizer tokens.
+
+    ``unk_mode`` selects the failure policy (both are one Arrow pass):
+      * ``"char"`` (default, the round-1 semantics): an unmatched
+        position emits [UNK] and advances one character;
+      * ``"word"``: classic BERT whole-word [UNK] — any unmatched
+        position, or a word over ``max_word_chars`` (BERT ships 100),
+        collapses the whole word to one [UNK];
+      * ``"both"``: char-mode columns plus ``{tokens_col}_ww`` /
+        ``n_wordpiece_tokens_ww`` with the whole-word fold.
+    """
+    if unk_mode == "char":
+        toks = _wordpiece_udf(vocab)(_norm(text_col))
+        return df.withColumn(tokens_col, toks).withColumn(
+            "n_wordpiece_tokens", F.size(tokens_col).cast("long")
+        )
+    if unk_mode not in ("word", "both"):
+        raise ValueError(f"unknown unk_mode {unk_mode!r}")
+    both = _wordpiece_udf(vocab, both=True, max_word_chars=max_word_chars)(
+        _norm(text_col)
+    )
+    staged = df.withColumn("_wp", both)
+    if unk_mode == "word":
+        return (
+            staged.withColumn(tokens_col, F.col("_wp.word"))
+            .withColumn("n_wordpiece_tokens", F.size(tokens_col).cast("long"))
+            .drop("_wp")
+        )
+    return (
+        staged.withColumn(tokens_col, F.col("_wp.char"))
+        .withColumn("n_wordpiece_tokens", F.size(tokens_col).cast("long"))
+        .withColumn(f"{tokens_col}_ww", F.col("_wp.word"))
+        .withColumn(
+            "n_wordpiece_tokens_ww", F.size(f"{tokens_col}_ww").cast("long")
+        )
+        .drop("_wp")
     )

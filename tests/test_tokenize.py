@@ -81,3 +81,62 @@ def test_pack_shards_on_wordpiece_counts(spark):
     max_tok = max(r["n_wordpiece_tokens"] for r in out)
     for key, total in by_shard.items():
         assert total <= 120 + max_tok, (key, total)
+
+
+def test_whole_word_unk_mode(spark):
+    """Classic BERT whole-word [UNK]: any unmatched position collapses
+    the word; fully-matching words tokenize identically to char mode."""
+    from ocr_obsidian_spark.operators.tokenize import (
+        UNK_TOKEN,
+        tokenize_wordpiece,
+    )
+
+    rows = [(1, "unbreakable éclair running")]  # é has no vocab entry
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    char = tokenize_wordpiece(df, unk_mode="char").collect()[0]
+    word = tokenize_wordpiece(df, unk_mode="word").collect()[0]
+    # éclair: char mode falls back per character, word mode nukes it
+    assert UNK_TOKEN in char["wordpiece_tokens"]
+    assert char["wordpiece_tokens"] != word["wordpiece_tokens"]
+    assert word["wordpiece_tokens"].count(UNK_TOKEN) == 1
+    # the fully-matching words are identical in both modes
+    assert word["wordpiece_tokens"][0] == char["wordpiece_tokens"][0]
+    assert word["wordpiece_tokens"][-2:] == char["wordpiece_tokens"][-2:]
+
+
+def test_whole_word_mode_applies_word_char_cap(spark):
+    from ocr_obsidian_spark.operators.tokenize import (
+        UNK_TOKEN,
+        tokenize_wordpiece,
+    )
+
+    long_word = "a" * 101  # fully matchable but over BERT's 100-char cap
+    df = spark.createDataFrame([(1, f"{long_word} ok")], "doc_id long, text string")
+    char = tokenize_wordpiece(df, unk_mode="char").collect()[0]
+    word = tokenize_wordpiece(df, unk_mode="word").collect()[0]
+    assert UNK_TOKEN not in char["wordpiece_tokens"]
+    assert word["wordpiece_tokens"] == [UNK_TOKEN, "o", "##k"]
+
+
+def test_both_mode_matches_single_modes_and_post_fold(spark):
+    """unk_mode='both' emits exactly the two single-mode outputs in one
+    pass, and word mode == the documented post-fold of char mode."""
+    from ocr_obsidian_spark.operators.tokenize import (
+        UNK_TOKEN,
+        tokenize_wordpiece,
+    )
+
+    rows = [
+        (1, "the quick éclair jumped over running waters"),
+        (2, ""),
+        (3, None),
+        (4, "café cañon straße"),
+        (5, "plain english words tokenize fine here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    both = {r["doc_id"]: r for r in tokenize_wordpiece(df, unk_mode="both").collect()}
+    char = {r["doc_id"]: r for r in tokenize_wordpiece(df, unk_mode="char").collect()}
+    word = {r["doc_id"]: r for r in tokenize_wordpiece(df, unk_mode="word").collect()}
+    for i, _ in rows:
+        assert both[i]["wordpiece_tokens"] == char[i]["wordpiece_tokens"]
+        assert both[i]["wordpiece_tokens_ww"] == word[i]["wordpiece_tokens"]
