@@ -1043,6 +1043,101 @@ def q_quality_tiers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_relational_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Nine relational shapes (filter_agg, semi_join, anti_join,
+    sorted_limit, window_slice, latest_per_key, text_metrics,
+    line_concat, context_window — the F/J/W/O/A-family coverage rows,
+    stable since round 1) normalized to one (shape, k1, k2, v1..v4)
+    schema and unioned, so every shape keeps a driver-verified row now
+    that the registry fits the 50-row window (round-4 verdict item #2).
+    Each branch is the UNCHANGED original query body; bench.py still
+    times the originals individually so floors stay comparable."""
+
+    def norm(df: DataFrame, shape: str, k1: str, k2: str | None, vs: tuple) -> DataFrame:
+        cols = [
+            F.lit(shape).alias("shape"),
+            F.col(k1).cast("string").alias("k1"),
+            (F.col(k2).cast("string") if k2 else F.lit("")).alias("k2"),
+        ]
+        for i in range(4):
+            v = F.col(vs[i]) if i < len(vs) else F.lit(None)
+            cols.append(v.cast("double").alias(f"v{i + 1}"))
+        return df.select(*cols)
+
+    parts = [
+        norm(q_filter_agg(spark, sf), "filter_agg", "l_linestatus", None,
+             ("sum_qty", "revenue", "n_rows")),
+        norm(q_semi_join(spark, sf), "semi_join", "c_mktsegment", None,
+             ("n_customers",)),
+        norm(q_anti_join(spark, sf), "anti_join", "c_nationkey", None,
+             ("n_customers",)),
+        norm(q_sorted_limit(spark, sf), "sorted_limit", "o_orderkey", None,
+             ("price",)),
+        norm(q_window_slice(spark, sf), "window_slice", "source", "doc_id",
+             ("n_chars", "rn")),
+        norm(q_latest_per_key(spark, sf), "latest_per_key", "user_id", None,
+             ("latest_event_id",)),
+        norm(q_text_metrics(spark, sf), "text_metrics", "doc_id", None,
+             ("char_count", "alpha_ratio", "garbage_ratio", "pipe_ratio")),
+        norm(q_line_concat(spark, sf), "line_concat", "user_id", "event_seq",
+             ()),
+        norm(q_context_window(spark, sf), "context_window", "event_id", None,
+             ("ctx_sum", "ctx_n")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_simhash_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """simhash + simhash_dups folded into one driver row (registry
+    consolidation): 'fp' rows carry the md5-twin fingerprint halves per
+    document, 'dup' rows the banding-completeness pair set over the
+    known-duplicates population. Both branches unchanged from their
+    round-2/round-4 definitions."""
+    fp = q_simhash(spark, sf).select(
+        F.lit("fp").alias("shape"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("sim_hi").cast("long").alias("b"),
+        F.col("sim_lo").cast("long").alias("c"),
+    )
+    dup = q_simhash_dups(spark, sf).select(
+        F.lit("dup").alias("shape"),
+        F.col("id_a").cast("long").alias("a"),
+        F.col("id_b").cast("long").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+    )
+    return fp.unionByName(dup)
+
+
+def q_jaccard_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """jaccard_exact + jaccard_pairs folded into one driver row: the
+    'exact' path is the unrestricted inverted-index self-join, the 'lsh'
+    path the candidate-restricted 100 TB verification — both must equal
+    the same exhaustive oracle pair set, values included."""
+    exact = q_jaccard_exact(spark, sf).select(
+        F.lit("exact").alias("path"), "id_a", "id_b", "jaccard"
+    )
+    lsh = q_jaccard_pairs(spark, sf).select(
+        F.lit("lsh").alias("path"), "id_a", "id_b", "jaccard"
+    )
+    return exact.unionByName(lsh)
+
+
+def q_url_canon_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """url_canon + url_canon_idn folded into one driver row: 'std' rows
+    exercise the RFC 3986 expression chain on dirtied ascii urls, 'idn'
+    rows the punycode-UDF composition on rotating unicode hosts."""
+    std = q_url_canon(spark, sf).select(
+        F.lit("std").alias("variant"), "doc_id", "canon_url"
+    )
+    idn = q_url_canon_idn(spark, sf).select(
+        F.lit("idn").alias("variant"), "doc_id", "canon_url"
+    )
+    return std.unionByName(idn)
+
+
 def q_lm_ppl(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style LM quality scoring (operators/lm.py): per-document
     token count, exact integer micro-nll under the checked-in quantized
@@ -1201,12 +1296,14 @@ def q_unicode_nfc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver records correctness rows for the FIRST 50
-    # entries only. Keep every operator whose only driver-visible evidence
-    # is its row here in the front block; the tail block holds TPC-H-trivial
-    # shapes (stable since round 1, each redundantly evidenced by pinned
-    # unit/fuzz tests) that we can afford to leave past the window. When
-    # adding a query, move one more trivial shape to the tail.
+    # EXACTLY 50 entries — the driver records correctness rows for the
+    # first 50, so every registered query now gets a driver row every
+    # round (round-4 verdict item #2; the invisible tail is gone). The
+    # nine TPC-relational shapes ride inside relational_suite;
+    # simhash(+dups), jaccard(exact+lsh) and url_canon(std+idn) are
+    # folded unions with a tag column. The original per-shape functions
+    # still exist and bench.py times them individually, so bench rows
+    # keep their round-4 definitions and floors stay comparable.
     return {
         "agg_bounds": q_agg_bounds,
         "topk_rank": q_topk_rank,
@@ -1222,17 +1319,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
         "dedup_groups": q_dedup_groups,
-        "jaccard_exact": q_jaccard_exact,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
         "block_candidates": q_block_candidates,
         "book_export": q_book_export,
         "minhash_pairs": q_minhash_pairs,
-        "jaccard_pairs": q_jaccard_pairs,
+        "jaccard_pairs": q_jaccard_suite,
         "ivf_ann": q_ivf_ann,
-        "simhash_dups": q_simhash_dups,
-        "simhash": q_simhash,
+        "simhash": q_simhash_suite,
         "dedup_components": q_dedup_components,
         "near_dedup_keep": q_near_dedup_keep,
         "lsh_ann": q_lsh_ann,
@@ -1248,8 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "html_blocks": q_html_blocks,
         "html_extract": q_html_extract,
-        "url_canon": q_url_canon,
-        "url_canon_idn": q_url_canon_idn,
+        "url_canon": q_url_canon_suite,
         "mix_corpus": q_mix_corpus,
         "pack_shards": q_pack_shards,
         "url_dedup": q_url_dedup,
@@ -1259,20 +1353,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_flags": q_gopher_flags,
         "gopher_rep": q_gopher_rep,
         "c4_filter": q_c4_filter,
+        "relational_suite": q_relational_suite,
         # rows-only: extract_pipeline is the pandas-UDF extraction spine
         # (pinned byte-identical to the reference by tests/ — the ONE
         # genuinely non-SQL-expressible query left)
         "extract_pipeline": q_extract_pipeline,
-        # ---- tail: past the driver's 50-row window (see note above) ----
-        "filter_agg": q_filter_agg,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "sorted_limit": q_sorted_limit,
-        "window_slice": q_window_slice,
-        "latest_per_key": q_latest_per_key,
-        "text_metrics": q_text_metrics,
-        "line_concat": q_line_concat,
-        "context_window": q_context_window,
     }
 
 
@@ -1935,7 +2020,7 @@ _JACCARD_CTE = f"""
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    base = {
         "agg_bounds": """
             SELECT l_orderkey,
                    min(l_quantity) AS q_min,
@@ -2691,3 +2776,61 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+
+    # ---- compound rows (registry consolidation, round 5): each folded
+    # branch keeps its UNCHANGED per-shape SQL above; the compound just
+    # tags and unions them to match the folded Spark queries ----
+    nine = {
+        "filter_agg": ("CAST(l_linestatus AS VARCHAR)", "''",
+                       ["sum_qty", "revenue", "n_rows"]),
+        "semi_join": ("CAST(c_mktsegment AS VARCHAR)", "''", ["n_customers"]),
+        "anti_join": ("CAST(c_nationkey AS VARCHAR)", "''", ["n_customers"]),
+        "sorted_limit": ("CAST(o_orderkey AS VARCHAR)", "''", ["price"]),
+        "window_slice": ("CAST(source AS VARCHAR)", "CAST(doc_id AS VARCHAR)",
+                         ["n_chars", "rn"]),
+        "latest_per_key": ("CAST(user_id AS VARCHAR)", "''",
+                           ["latest_event_id"]),
+        "text_metrics": ("CAST(doc_id AS VARCHAR)", "''",
+                         ["char_count", "alpha_ratio", "garbage_ratio",
+                          "pipe_ratio"]),
+        "line_concat": ("CAST(user_id AS VARCHAR)", "event_seq", []),
+        "context_window": ("CAST(event_id AS VARCHAR)", "''",
+                           ["ctx_sum", "ctx_n"]),
+    }
+    parts = []
+    for shape, (k1, k2, vs) in nine.items():
+        vsel = ", ".join(
+            f"CAST({vs[i]} AS DOUBLE) AS v{i + 1}" if i < len(vs)
+            else f"CAST(NULL AS DOUBLE) AS v{i + 1}"
+            for i in range(4)
+        )
+        parts.append(
+            f"SELECT '{shape}' AS shape, {k1} AS k1, {k2} AS k2, {vsel}\n"
+            f"FROM ({base.pop(shape)})"
+        )
+    base["relational_suite"] = "\nUNION ALL\n".join(parts)
+    base["simhash"] = f"""
+        SELECT 'fp' AS shape, CAST(doc_id AS BIGINT) AS a,
+               CAST(sim_hi AS BIGINT) AS b, CAST(sim_lo AS BIGINT) AS c
+        FROM ({base.pop("simhash")})
+        UNION ALL
+        SELECT 'dup' AS shape, CAST(id_a AS BIGINT), CAST(id_b AS BIGINT),
+               CAST(NULL AS BIGINT)
+        FROM ({base.pop("simhash_dups")})
+    """
+    base["jaccard_pairs"] = f"""
+        SELECT 'exact' AS path, id_a, id_b, jaccard
+        FROM ({base.pop("jaccard_exact")})
+        UNION ALL
+        SELECT 'lsh' AS path, id_a, id_b, jaccard
+        FROM ({base.pop("jaccard_pairs")})
+    """
+    base["url_canon"] = f"""
+        SELECT 'std' AS variant, doc_id, canon_url
+        FROM ({base.pop("url_canon")})
+        UNION ALL
+        SELECT 'idn' AS variant, doc_id, canon_url
+        FROM ({base.pop("url_canon_idn")})
+    """
+    return base
+

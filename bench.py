@@ -160,7 +160,11 @@ def main() -> None:
     def run_one(name, sf_dir):
         if name == "simhash":
             return force(simhash64(entrymod._t(spark, sf_dir, "documents", spread=True)))
-        return force(qs[name](spark, sf_dir))
+        # bench rows keep their round-4 definitions even where the driver
+        # registry folded queries into compound suites (round 5): prefer
+        # the original per-shape function over the registry entry
+        fn = getattr(entrymod, f"q_{name}", None) or qs[name]
+        return force(fn(spark, sf_dir))
 
     # Steady-state definition (round 4): run every headliner once at tiny
     # scale first, UNTIMED. Whole-stage-codegen (janino) compilation + JIT
