@@ -50,6 +50,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extract_docs = 0
+    only = os.environ.get("SPARK_GRAFT_ONLY", "")
+    # targeted mode ("name[,name...]", not "extract"): skip the flagship
+    # extract stage entirely — used by the shuffle-operator scaling probe
+    run_extract_stage = (not only) or only == "extract"
 
     def timed(name, fn):
         t0 = time.monotonic()
@@ -62,66 +66,66 @@ def main() -> None:
     from ocr_obsidian_spark.operators.printed_page import apply_printed_page_mode
     from ocr_obsidian_spark.sources.doc_pages import pages_from_documents
 
-    docs = tbl("documents")
-    if REPLICATE > 1:
-        n = docs.count()
-        copies = [
-            docs.select(
-                (F.col("doc_id") + 1_000_000 * k).alias("doc_id"),
-                "text", "lang", "source", "n_chars",
-            )
-            for k in range(REPLICATE)
-        ]
-        big = copies[0]
-        for c in copies[1:]:
-            big = big.unionByName(c)
-        extract_docs = n * REPLICATE
-    else:
-        big = docs
-        extract_docs = docs.count()
+    if run_extract_stage:
+        docs = tbl("documents")
+        if REPLICATE > 1:
+            n = docs.count()
+            copies = [
+                docs.select(
+                    (F.col("doc_id") + 1_000_000 * k).alias("doc_id"),
+                    "text", "lang", "source", "n_chars",
+                )
+                for k in range(REPLICATE)
+            ]
+            big = copies[0]
+            for c in copies[1:]:
+                big = big.unionByName(c)
+            extract_docs = n * REPLICATE
+        else:
+            big = docs
+            extract_docs = docs.count()
 
-    # input materialization is scaffolding, not the engine: persist the page
-    # bytes before the timer so "extract" measures tokenize→render→mode only
-    from pyspark import StorageLevel
+        # input materialization is scaffolding, not the engine: persist the page
+        # bytes before the timer so "extract" measures tokenize→render→mode only
+        from pyspark import StorageLevel
 
-    # one task per core: pages are uniform (no skew tail) and per-task
-    # python-runner setup is the dominant fixed cost at high parallelism
-    pages = pages_from_documents(big.repartition(CPUS, "doc_id")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    pages.count()
-    # JVM codegen + python-worker warmup (untimed): workers are reused
-    # across jobs; a 10% sample keeps every partition (and thus every
-    # worker) warm at a tenth of the cost of a full pass
-    extract_pages(pages.sample(0.1, seed=1)).count()
+        # one task per core: pages are uniform (no skew tail) and per-task
+        # python-runner setup is the dominant fixed cost at high parallelism
+        pages = pages_from_documents(big.repartition(CPUS, "doc_id")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        pages.count()
+        # JVM codegen + python-worker warmup (untimed): workers are reused
+        # across jobs; a 10% sample keeps every partition (and thus every
+        # worker) warm at a tenth of the cost of a full pass
+        extract_pages(pages.sample(0.1, seed=1)).count()
 
-    # the stage boundary is a DURABLE corpus write (the real pipeline shape:
-    # extract once, write the canonical table, downstream reads it — the
-    # reference's single-OCR-pass rule). Parquet write+read measured ~1.5×
-    # cheaper than the in-memory columnar cache for these wide string rows,
-    # and the mode window then reads a column-pruned narrow projection.
-    import shutil
-    import tempfile
+        # the stage boundary is a DURABLE corpus write (the real pipeline shape:
+        # extract once, write the canonical table, downstream reads it — the
+        # reference's single-OCR-pass rule). Parquet write+read measured ~1.5×
+        # cheaper than the in-memory columnar cache for these wide string rows,
+        # and the mode window then reads a column-pruned narrow projection.
+        import shutil
+        import tempfile
 
-    corpus_path = os.path.join(
-        tempfile.gettempdir(), f"bench_corpus_{os.getpid()}"
-    )
-    shutil.rmtree(corpus_path, ignore_errors=True)
+        corpus_path = os.path.join(
+            tempfile.gettempdir(), f"bench_corpus_{os.getpid()}"
+        )
+        shutil.rmtree(corpus_path, ignore_errors=True)
 
-    def run_extract():
-        extract_pages(pages).write.mode("overwrite").parquet(corpus_path)
-        corpus = apply_printed_page_mode(spark.read.parquet(corpus_path))
-        # force full materialization of the text column, not just row count
-        return corpus.select(
-            F.sum(F.length("extracted_text")).alias("b"), F.count(F.lit(1)).alias("n")
-        ).collect()[0]["n"]
+        def run_extract():
+            extract_pages(pages).write.mode("overwrite").parquet(corpus_path)
+            corpus = apply_printed_page_mode(spark.read.parquet(corpus_path))
+            # force full materialization of the text column, not just row count
+            return corpus.select(
+                F.sum(F.length("extracted_text")).alias("b"), F.count(F.lit(1)).alias("n")
+            ).collect()[0]["n"]
 
-    n_extracted = timed("extract", run_extract)
-    shutil.rmtree(corpus_path, ignore_errors=True)
-    assert n_extracted == extract_docs
+        n_extracted = timed("extract", run_extract)
+        shutil.rmtree(corpus_path, ignore_errors=True)
+        assert n_extracted == extract_docs
 
     # -- operator headliners (same definitions as the driver contract) --
-    only = os.environ.get("SPARK_GRAFT_ONLY", "")
     qs = entrymod.queries()
     headliners = [] if only == "extract" else [
         "agg_bounds", "join_agg", "asof_join", "context_window", "mode_switch",
@@ -138,7 +142,16 @@ def main() -> None:
         # round 4: IDN canonicalization + real subword tokenizer + full
         # Gopher repetition rule set
         "url_canon_idn", "subword_tokens", "gopher_rep",
+        # round 5: ExactSubstr-style substring dedup, KN-bigram LM
+        # perplexity, NB-cascade language ID (lang_id and subword_tokens
+        # rows are NEW definitions this round — model cascade / both-mode
+        # tokenization — not comparable to any earlier row)
+        "substr_dedup", "lm_ppl", "lang_id",
     ]
+    if only and only != "extract":
+        # targeted mode for scaling probes: comma-separated query names,
+        # extract skipped entirely
+        headliners = [q for q in only.split(",") if q]
     # Forcing function (bench definition, changed in round 4): .count()
     # lets Catalyst prune every row-preserving projection — including
     # Arrow-batched UDFs — so a map-only query (pii_scrub, url_canon,
@@ -186,7 +199,10 @@ def main() -> None:
         timed(name, lambda n=name: run_one(n, SF_DIR))
 
     total = round(sum(timings.values()), 3)
-    docs_per_sec = round(extract_docs / timings["extract"], 1) if timings["extract"] else 0.0
+    docs_per_sec = (
+        round(extract_docs / timings["extract"], 1)
+        if timings.get("extract") else 0.0
+    )
     print(
         json.dumps(
             {

@@ -9,11 +9,12 @@ the standard distributed approximation, shaped like
 ``webprep.drop_duplicated_lines``:
 
   * anchor every duplicated passage by its fixed-width word shingles
-    (``width`` consecutive normalized words, stride 1 — any shared
-    passage of >= ``width`` words contains at least one shared shingle,
-    and every word of a shared passage of >= 2*width-1 words is covered;
-    passages shorter than ``width`` words are below the removal
-    threshold by definition, mirroring ExactSubstr's 50-char floor);
+    (``width`` consecutive normalized words, stride 1). A passage of
+    >= ``width`` words shared verbatim by two documents shares ALL its
+    internal shingles, and every word position lies inside at least one
+    of them — shared passages are excised COMPLETELY, not just their
+    anchor heads. Passages shorter than ``width`` words are below the
+    removal threshold by definition (ExactSubstr's 50-char floor);
   * a shingle shared by >= ``min_docs`` DISTINCT documents marks all its
     occurrences' word positions as duplicated (remove-ALL-copies, the
     ExactSubstr policy — boilerplate passages should survive in zero
