@@ -6,9 +6,11 @@ Arrow-batched ``mapInPandas`` stages. PNG payloads decode for REAL with a
 pure-stdlib decoder (``decode_png``: zlib inflate + scanline unfiltering),
 baseline JPEG with ``jpegcodec.decode_jpeg`` (Huffman + dequant + IDCT)
 GIF first-frames with ``gifcodec.decode_gif`` (LZW + palettes +
-interlace), and WAV/PCM audio with ``wavcodec.decode_wav`` — all public
-specs, no PIL/ffmpeg needed. The remaining codecs (WebP/AVIF/TIFF,
-MP3/AAC, video) are a STUBBED boundary in this container and fall back to
+interlace), lossless WebP with ``webpcodec.decode_webp`` (VP8L: prefix
+codes + LZ77 + color cache + all four transforms, round 5), and WAV/PCM
+audio with ``wavcodec.decode_wav`` — all public specs, no PIL/ffmpeg
+needed. The remaining codecs (lossy-VP8 WebP, AVIF/TIFF, MP3/AAC,
+video) are a STUBBED boundary in this container and fall back to
 deterministic content-derived fake features, so the distributed path is
 exercised end-to-end either way.
 """
@@ -181,11 +183,13 @@ def image_codecs() -> list[tuple]:
     once."""
     from .gifcodec import GIF_SIGNATURES, decode_gif, gif_dimensions
     from .jpegcodec import JPEG_SIGNATURE, decode_jpeg, jpeg_dimensions
+    from .webpcodec import decode_webp, is_webp, webp_dimensions
 
     return [
         (lambda d: d.startswith(PNG_SIGNATURE), decode_png, png_dimensions),
         (lambda d: d.startswith(JPEG_SIGNATURE), decode_jpeg, jpeg_dimensions),
         (lambda d: d[:6] in GIF_SIGNATURES, decode_gif, gif_dimensions),
+        (is_webp, decode_webp, webp_dimensions),
     ]
 
 
@@ -194,7 +198,8 @@ def decode_image(payload: bytes) -> np.ndarray:
 
     PNG decodes for real via ``decode_png``; baseline sequential JPEG via
     ``jpegcodec.decode_jpeg``; GIF (first frame) via ``gifcodec.decode_gif``
-    (both round 4). Other formats (WebP/AVIF/TIFF, audio, video) require a
+    (both round 4); lossless WebP via ``webpcodec.decode_webp`` (round 5).
+    Other formats (lossy-VP8 WebP, AVIF/TIFF, audio, video) require a
     codec library (PIL/opencv/ffmpeg) not installed in this container —
     the pipeline falls back to ``fake_features`` for them (see
     ``extract_media_features``)."""

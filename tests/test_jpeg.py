@@ -115,7 +115,9 @@ def test_decode_image_dispatch_jpeg():
     img = np.full((10, 12), 200, dtype=np.uint8)
     out = decode_image(encode_jpeg(img))
     assert out.shape == (10, 12, 1) and int(out.max()) == 200
-    with pytest.raises(NotImplementedError):
+    # WebP is a real codec since round 5: a malformed container (chunk
+    # header past the payload end) is a data error, not a missing codec
+    with pytest.raises(ValueError):
         decode_image(b"RIFF....WEBPVP8 ")
 
 

@@ -150,7 +150,8 @@ def test_decode_image_dispatch():
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
     with pytest.raises(ValueError):
         decode_image(b"GIF89a malformed stream")
-    with pytest.raises(NotImplementedError):
+    # WebP is a real codec since round 5: no-VP8L-chunk = data error
+    with pytest.raises(ValueError):
         decode_image(b"RIFF....WEBP no codec in container")
 
 
