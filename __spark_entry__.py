@@ -1161,7 +1161,9 @@ def q_lm_ppl(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_substr_dedup(spark: SparkSession, sf: str) -> DataFrame:
+def q_substr_dedup(
+    spark: SparkSession, sf: str, anchor_hash: str = "md5"
+) -> DataFrame:
     """ExactSubstr-style repeated-substring removal (Lee et al. 2021,
     shingle-anchored distributed approximation — substrdedup.py) with
     deterministically planted shared passages: passage A on every fifth
@@ -1187,8 +1189,12 @@ def q_substr_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.col("doc_id").cast("string"),
         ).alias("text"),
     )
+    # the driver oracle needs md5 (the DuckDB-shared hash); bench times
+    # the xxhash64 production path (narrower keys) — equivalence pinned
+    # by tests/test_substrdedup.py
     return drop_duplicated_substrings(
-        injected, width=8, min_docs=2, out_col="clean_text"
+        injected, width=8, min_docs=2, out_col="clean_text",
+        anchor_hash=anchor_hash,
     ).select("doc_id", "clean_text", "n_words_kept", "n_words_dropped")
 
 

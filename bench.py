@@ -173,6 +173,11 @@ def main() -> None:
     def run_one(name, sf_dir):
         if name == "simhash":
             return force(simhash64(entrymod._t(spark, sf_dir, "documents", spread=True)))
+        if name == "substr_dedup":
+            # bench the xxhash64 PRODUCTION anchors (8-byte shuffle keys);
+            # the driver contract's query is its md5 oracle twin — same
+            # semantics, DuckDB-shared hash (the simhash precedent)
+            return force(entrymod.q_substr_dedup(spark, sf_dir, anchor_hash="xxhash64"))
         # bench rows keep their round-4 definitions even where the driver
         # registry folded queries into compound suites (round 5): prefer
         # the original per-shape function over the registry entry

@@ -25,8 +25,9 @@ Scale shape (narrow rows everywhere; the wide text column never rides
 past the per-document scan projection):
 
   1. map-side shingling — ``transform`` over a materialized split-words
-     column builds the md5 anchor array with zero shuffles, then ONE
-     posexplode emits (doc, pos, hash) rows (16-byte hash, not text);
+     column builds the anchor-hash array with zero shuffles (xxhash64
+     in production: 8-byte keys; md5 for the DuckDB oracle twin), then
+     ONE posexplode emits (doc, pos, hash) rows — never text;
   2. groupBy(hash) countDistinct(doc) with map-side partial aggregation
      → the duplicated-anchor set (post-filter minority);
   3. left-semi join of occurrences against that set on the SAME hash key
@@ -63,6 +64,7 @@ def drop_duplicated_substrings(
     width: int = 8,
     min_docs: int = 2,
     out_col: str | None = None,
+    anchor_hash: str = "xxhash64",
 ) -> DataFrame:
     """Remove every ``width``-word shingle (and thus every shared passage
     of >= ``width`` words) that appears in >= ``min_docs`` distinct
@@ -77,9 +79,20 @@ def drop_duplicated_substrings(
     textstats normal form), so the output is in normal form — callers
     that must preserve raw bytes should map positions back themselves;
     corpus-prep pipelines dedup *after* normalization anyway.
+
+    ``anchor_hash``: ``"xxhash64"`` (production default — one JVM hash
+    op per shingle and an 8-byte shuffle key; a 64-bit collision marks
+    one extra shingle duplicated with p ≈ n²/2⁶⁵, the standard
+    hash-keyed-dedup trade, same as drop_duplicated_lines) or ``"md5"``
+    (the driver-oracle twin — the one hash DuckDB shares bit-for-bit;
+    32-char keys, ~2× slower end-to-end, identical semantics — the
+    simhash64 / simhash64_md5 precedent).
     """
     if width < 2:
         raise ValueError("width must be >= 2 words")
+    if anchor_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown anchor_hash {anchor_hash!r}")
+    hash_fn = F.md5 if anchor_hash == "md5" else F.xxhash64
     out = out_col or text_col
 
     words = (
@@ -95,13 +108,14 @@ def drop_duplicated_substrings(
     # anchor hashes, built map-side: _ws is a materialized column (NOT an
     # inline split() expression) so the HOF lambda captures a cheap
     # attribute — an expression subtree would re-evaluate per element
+    empty_type = "array<string>" if anchor_hash == "md5" else "array<bigint>"
     shingles = F.when(
         F.size("_ws") >= width,
         F.transform(
             F.sequence(F.lit(0), F.size("_ws") - width),
-            lambda i: F.md5(F.array_join(F.slice("_ws", i + 1, width), " ")),
+            lambda i: hash_fn(F.array_join(F.slice("_ws", i + 1, width), " ")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast(empty_type))
 
     occ = words.select(
         F.col(id_col), F.posexplode(shingles).alias("_pos", "_h")

@@ -131,6 +131,21 @@ def test_fuzz_against_bruteforce_oracle(spark):
     assert got == want
 
 
+def test_xxhash64_production_anchor_matches_md5_twin(spark):
+    """anchor_hash only changes the shuffle key width, never the
+    result (the simhash64 / simhash64_md5 precedent)."""
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(10)]
+    passage = " ".join(rng.choice(vocab) for _ in range(WIDTH + 3))
+    rows = [
+        (i, f"{passage} doc {i} " + " ".join(rng.choice(vocab) for _ in range(6)))
+        for i in range(12)
+    ]
+    assert _run(spark, rows, anchor_hash="xxhash64") == _run(
+        spark, rows, anchor_hash="md5"
+    )
+
+
 def test_normalization_collides_case_and_whitespace(spark):
     rows = [
         (1, "Alpha  Beta\tGAMMA delta Epsilon plus"),
