@@ -204,6 +204,22 @@ def test_substr_dedup_three_narrow_shuffles(spark):
     assert "text#" not in first_line
 
 
+def test_lm_and_langid_are_map_only(spark):
+    """LM perplexity scoring and the language-ID cascade are single-pass
+    Arrow map stages: zero exchanges, one ArrowEvalPython each (the
+    cascade must NOT split/re-union the corpus for its pre-filter — the
+    skip happens inside the UDF)."""
+    from ocr_obsidian_spark.operators.langid import with_language
+    from ocr_obsidian_spark.operators.lm import with_lm_perplexity
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (with_lm_perplexity(docs), with_language(docs)):
+        p = plan_str(df, mode="simple")
+        assert "Exchange" not in p
+        assert p.count("ArrowEvalPython") == 1
+        assert "Union" not in p
+
+
 def test_large_blocklist_corpus_never_shuffles(spark):
     """Large-list filter_blocked_domains: after AQE finalizes, the corpus
     side anti-joins a BROADCAST of the blocked-host set — the corpus scan
