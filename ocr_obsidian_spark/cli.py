@@ -248,12 +248,20 @@ def run_dedup(args) -> int:
     )
     from .sources.io import write_table
 
+    from .operators.substrdedup import drop_duplicated_substrings
+
     spark = _session(args)
     _check_out(args.out, args.overwrite)
     docs = spark.read.parquet(args.docs)
     n_in = docs.count()
     if args.mode == "exact":
         kept = drop_exact_duplicates(docs, args.text_col, args.id_col)
+    elif args.mode == "substr":
+        # ExactSubstr-style: rows survive, shared passages are excised
+        kept = drop_duplicated_substrings(
+            docs, text_col=args.text_col, id_col=args.id_col,
+            width=args.substr_width,
+        )
     else:
         cands = minhash_lsh_candidate_pairs(docs, args.text_col, args.id_col)
         pairs = ngram_jaccard_pairs(
@@ -262,8 +270,47 @@ def run_dedup(args) -> int:
         )
         kept = drop_near_duplicates(docs, pairs, args.id_col)
     write_table(kept, args.out, mode="overwrite" if args.overwrite == "always" else "error")
+    res = spark.read.parquet(args.out)
+    n_out = res.count()
+    if args.mode == "substr":
+        from pyspark.sql import functions as F
+
+        dropped = res.agg(F.sum("n_words_dropped")).collect()[0][0] or 0
+        print(
+            f"dedup[substr]: {n_in} docs, {dropped} duplicated words excised "
+            f"at {args.out}"
+        )
+    else:
+        print(f"dedup[{args.mode}]: {n_in} → {n_out} docs ({n_in - n_out} dropped) at {args.out}")
+    return 0
+
+
+def run_score(args) -> int:
+    """documents table → scored table (the CCNet-style curation step):
+    cascade language ID (marker heuristic + char-n-gram NB), KN-bigram
+    LM perplexity, and the composite quality features — all map-only
+    (operators/langid.py, lm.py, textstats.py)."""
+    from .operators.langid import with_language
+    from .operators.lm import with_lm_perplexity
+    from .operators.textstats import with_quality_score
+    from .sources.io import write_table
+
+    spark = _session(args)
+    _check_out(args.out, args.overwrite)
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+    out = with_language(docs, text_col=args.text_col)
+    out = with_lm_perplexity(out, text_col=args.text_col)
+    out = with_quality_score(out, text_col=args.text_col)
+    if args.max_ppl is not None:
+        from pyspark.sql import functions as F
+
+        out = out.filter(
+            F.col("lm_ppl").isNotNull() & (F.col("lm_ppl") <= args.max_ppl)
+        )
+    write_table(out, args.out, mode="overwrite" if args.overwrite == "always" else "error")
     n_out = spark.read.parquet(args.out).count()
-    print(f"dedup[{args.mode}]: {n_in} → {n_out} docs ({n_in - n_out} dropped) at {args.out}")
+    print(f"score: {n_in} → {n_out} docs at {args.out}")
     return 0
 
 
@@ -399,11 +446,25 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(p)
     p.add_argument("--docs", required=True, help="documents parquet path")
     p.add_argument("--out", required=True)
-    p.add_argument("--mode", choices=["exact", "near"], default="exact")
+    p.add_argument("--mode", choices=["exact", "near", "substr"], default="exact")
     p.add_argument("--threshold", type=float, default=0.8, help="near-dup Jaccard floor")
+    p.add_argument("--substr-width", type=int, default=8,
+                   help="substr mode: shared-passage word threshold")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.set_defaults(handler=run_dedup)
+
+    p = sub.add_parser(
+        "score",
+        help="documents table → language / LM-perplexity / quality scored table.",
+    )
+    _add_common(p)
+    p.add_argument("--docs", required=True, help="input documents parquet")
+    p.add_argument("--out", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--max-ppl", type=float, default=None,
+                   help="drop docs whose LM perplexity exceeds this")
+    p.set_defaults(handler=run_score)
 
     p = sub.add_parser(
         "webprep",

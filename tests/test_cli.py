@@ -141,3 +141,47 @@ def test_webprep_subcommand_full_chain(tmp_path, spark):
     assert got.filter(F.col("text").contains("<EMAIL>")).count() == n
     # overwrite refusal: the reference exit-code contract applies here too
     assert main(["webprep", "--docs", src, "--out", out]) == 4
+
+
+def test_dedup_subcommand_substr_mode(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" planted shared passage one two three four five six"),
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    src = str(tmp_path / "sd_docs")
+    injected.write.parquet(src)
+    out = str(tmp_path / "sd_out")
+    assert main(["dedup", "--docs", src, "--out", out, "--mode", "substr"]) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 40  # substr mode rewrites text, keeps rows
+    # the planted passage (8 words, shared by all docs) is excised
+    assert got.filter(F.col("text").contains("planted shared passage")).count() == 0
+    assert got.agg(F.sum("n_words_dropped")).collect()[0][0] >= 40 * 8
+
+
+def test_score_subcommand(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    src = str(tmp_path / "sc_docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "sc_out")
+    assert main(["score", "--docs", src, "--out", out]) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 30
+    for col in ("lang_id", "lang_marker", "lm_ppl", "nll_micro", "quality_score"):
+        assert col in got.columns, col
+    assert got.filter(F.col("lm_ppl").isNull()).count() == 0
+    # the perplexity gate actually filters
+    out2 = str(tmp_path / "sc_out2")
+    assert main(["score", "--docs", src, "--out", out2, "--max-ppl", "1"]) == 0
+    assert spark.read.parquet(out2).count() == 0
+    # overwrite refusal keeps the reference exit-code contract
+    assert main(["score", "--docs", src, "--out", out]) == 4
