@@ -1280,6 +1280,66 @@ def q_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_html_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """html_blocks + html_extract folded into one driver row (round-5
+    registry consolidation, freeing a slot for pack_sequences): 'block'
+    rows carry per-block segmentation features, 'doc' rows the
+    reassembled main content. Both branches unchanged."""
+    blocks = q_html_blocks(spark, sf).select(
+        F.lit("block").alias("part"),
+        "doc_id",
+        F.col("block_idx").cast("long").alias("idx"),
+        F.col("block_text").alias("text"),
+        F.col("n_chars").cast("long").alias("n1"),
+        F.col("link_chars").cast("long").alias("n2"),
+        F.col("link_density").cast("double").alias("dens"),
+        F.col("is_content").cast("boolean").alias("flag"),
+    )
+    doc = q_html_extract(spark, sf).select(
+        F.lit("doc").alias("part"),
+        "doc_id",
+        F.lit(0).cast("long").alias("idx"),
+        F.col("main_text").alias("text"),
+        F.col("n_blocks_kept").cast("long").alias("n1"),
+        F.col("n_blocks_dropped").cast("long").alias("n2"),
+        # explicit sentinels, not NULLs: cross-engine NULL boolean/double
+        # stringification differs in the driver compare
+        F.lit(-1.0).alias("dens"),
+        F.lit(False).alias("flag"),
+    )
+    return blocks.unionByName(doc)
+
+
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style sequence packing (webprep.pack_token_sequences): the
+    whitespace token streams of each md5-bucket group, EOS-terminated
+    per document, chopped into 32-token training examples; documents
+    span boundaries, only each group's final sequence may be short. The
+    oracle replays offsets, positions and chopping with DuckDB window
+    prefix sums."""
+    from ocr_obsidian_spark.operators.textstats import _norm
+    from ocr_obsidian_spark.operators.webprep import pack_token_sequences
+
+    d = _t(spark, sf, "documents", spread=True)
+    norm = _norm("text")
+    toks = d.select(
+        "doc_id",
+        F.when(F.length(norm) == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(norm, " "))
+        .alias("tokens"),
+    )
+    out = pack_token_sequences(
+        toks, tokens_col="tokens", id_col="doc_id", key_col="doc_id",
+        seq_len=32, groups=8,
+    )
+    return out.select(
+        F.col("shard_group").cast("long").alias("shard_group"),
+        "seq_idx",
+        "n_tokens",
+        F.array_join("tokens", "|").alias("tokens_str"),
+    )
+
+
 def q_unicode_nfc(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC canonicalization with deterministically injected
     DECOMPOSED sequences (combining acute, combining ring) — NFC must
@@ -1347,8 +1407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_dedup": q_substr_dedup,
         "lm_ppl": q_lm_ppl,
         "line_dedup": q_line_dedup,
-        "html_blocks": q_html_blocks,
-        "html_extract": q_html_extract,
+        "html_suite": q_html_suite,
+        "pack_sequences": q_pack_sequences,
         "url_canon": q_url_canon_suite,
         "mix_corpus": q_mix_corpus,
         "pack_shards": q_pack_shards,
@@ -2519,6 +2579,37 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'src2' THEN 2500 WHEN 'src3' THEN 500
                               ELSE 0 END
         """,
+        # sequence packing: same md5-bucket expression as hash_sample /
+        # pack_shards; stream offsets via a window prefix sum, token
+        # positions via the unnest(generate_series) pattern, chopping by
+        # integer division — all exact integer arithmetic
+        "pack_sequences": f"""
+            WITH nrm AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+            t AS (SELECT doc_id,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 8 AS grp,
+                         CASE WHEN norm = '' THEN ['[EOS]']
+                              ELSE string_split(norm, ' ') || ['[EOS]'] END AS toks
+                  FROM nrm),
+            c AS (SELECT doc_id, grp, toks,
+                         coalesce(sum(len(toks)) OVER (
+                             PARTITION BY grp ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS off
+                  FROM t),
+            e AS (SELECT grp, off + i - 1 AS gpos, toks[i] AS tok
+                  FROM (SELECT grp, off, toks,
+                               unnest(generate_series(1, len(toks))) AS i
+                        FROM c)),
+            agg AS (SELECT grp, gpos // 32 AS seq_idx,
+                           string_agg(tok, '|' ORDER BY gpos) AS tokens_str,
+                           count(*) AS n
+                    FROM e GROUP BY grp, (gpos // 32))
+            SELECT CAST(grp AS BIGINT) AS shard_group,
+                   CAST(seq_idx AS BIGINT) AS seq_idx,
+                   CAST(n AS BIGINT) AS n_tokens, tokens_str
+            FROM agg
+        """,
         "pack_shards": f"""
             WITH u AS (SELECT doc_id, {_URL_SQL} AS url,
                               {_NORM_SQL} AS norm
@@ -2830,6 +2921,19 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'lsh' AS path, id_a, id_b, jaccard
         FROM ({base.pop("jaccard_pairs")})
+    """
+    base["html_suite"] = f"""
+        SELECT 'block' AS part, doc_id, CAST(block_idx AS BIGINT) AS idx,
+               block_text AS text, CAST(n_chars AS BIGINT) AS n1,
+               CAST(link_chars AS BIGINT) AS n2,
+               CAST(link_density AS DOUBLE) AS dens, is_content AS flag
+        FROM ({base.pop("html_blocks")})
+        UNION ALL
+        SELECT 'doc' AS part, doc_id, CAST(0 AS BIGINT) AS idx,
+               main_text AS text, CAST(n_blocks_kept AS BIGINT) AS n1,
+               CAST(n_blocks_dropped AS BIGINT) AS n2,
+               -1.0 AS dens, FALSE AS flag
+        FROM ({base.pop("html_extract")})
     """
     base["url_canon"] = f"""
         SELECT 'std' AS variant, doc_id, canon_url

@@ -146,7 +146,7 @@ def main() -> None:
         # perplexity, NB-cascade language ID (lang_id and subword_tokens
         # rows are NEW definitions this round — model cascade / both-mode
         # tokenization — not comparable to any earlier row)
-        "substr_dedup", "lm_ppl", "lang_id",
+        "substr_dedup", "lm_ppl", "lang_id", "pack_sequences",
     ]
     if only and only != "extract":
         # targeted mode for scaling probes: comma-separated query names,

@@ -443,6 +443,78 @@ def pack_shards(
     )
 
 
+def pack_token_sequences(
+    df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    key_col: str = "url",
+    seq_len: int = 2048,
+    groups: int = 64,
+    eos: str = "[EOS]",
+) -> DataFrame:
+    """GPT-style sequence packing — the actual pretraining data layout:
+    within each md5-bucket group the document token streams (each
+    terminated by ``eos``) are concatenated in ``id_col`` order and
+    chopped into consecutive ``seq_len``-token sequences; documents span
+    sequence boundaries (no padding waste), the group's final partial
+    sequence is emitted short. ``pack_shards`` assigns whole documents
+    to ≈budget files; this produces the fixed-width training EXAMPLES.
+
+    Returns ``(shard_group, seq_idx, n_tokens, tokens)`` — one row per
+    packed sequence, fully deterministic at any parallelism (group is a
+    pure function of ``key_col``; order inside a group is ``id_col``).
+
+    Scale shape — ONE shuffle total (plan-pinned): the offset window
+    moves the token arrays once, partitioned by group (size ``groups``
+    to the cluster, ≈10⁵ at 100 TB, same rule as pack_shards); the
+    posexplode emitting (group, global-position, token) rows is
+    map-side — linear in corpus token count, like every shingle pass in
+    this repo; and the groupBy(group, seq) rebuild needs NO second
+    exchange because hashpartitioning(group) already clusters the
+    (group, seq) groups. No global sort, no driver state.
+    """
+    from .xengine import md5_bucket
+
+    if int(seq_len) <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    key = key_col if key_col in df.columns else id_col
+    staged = df.select(
+        md5_bucket(F.col(key).cast("string"), groups).alias("_grp"),
+        F.col(id_col).alias("_id"),
+        F.concat(F.col(tokens_col), F.array(F.lit(eos))).alias("_toks"),
+    )
+    w = (
+        Window.partitionBy("_grp")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(F.size("_toks")).over(w), F.lit(0))
+    exploded = staged.withColumn("_off", offset).select(
+        "_grp",
+        "_off",
+        F.posexplode("_toks").alias("_ti", "_tok"),
+    ).select(
+        "_grp",
+        (F.col("_off") + F.col("_ti")).alias("_gpos"),
+        "_tok",
+    )
+    seqs = exploded.withColumn(
+        "_seq", F.floor(F.col("_gpos") / F.lit(int(seq_len))).cast("long")
+    )
+    xs = F.array_sort(F.collect_list(F.struct(F.col("_gpos"), F.col("_tok"))))
+    return (
+        seqs.groupBy("_grp", "_seq")
+        .agg(xs.alias("_xs"))
+        .select(
+            F.col("_grp").alias("shard_group"),
+            F.col("_seq").alias("seq_idx"),
+            F.size("_xs").cast("long").alias("n_tokens"),
+            F.transform("_xs", lambda x: x["_tok"]).alias("tokens"),
+        )
+    )
+
+
 def benchmark_shingles(
     benchmark: DataFrame, *, text_col: str = "text", k: int = 8
 ) -> DataFrame:

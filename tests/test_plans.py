@@ -204,6 +204,27 @@ def test_substr_dedup_three_narrow_shuffles(spark):
     assert "text#" not in first_line
 
 
+def test_pack_sequences_single_shuffle(spark):
+    """pack_token_sequences: exactly ONE hash exchange — the offset
+    window partitions by group, and because the rebuild groups on
+    (group, seq), hashpartitioning(group) already satisfies its
+    clustering requirement, so Catalyst inserts no second exchange; the
+    token explode is map-side."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ocr_obsidian_spark.operators.webprep import pack_token_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.split(F.coalesce("text", F.lit("")), " ").alias("tokens")
+    )
+    p = plan_str(pack_token_sequences(docs, key_col="doc_id"), mode="simple")
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", p)
+    assert [k.split("#")[0] for k in keys] == ["_grp"], keys
+    assert p.count("Generate posexplode") == 1
+
+
 def test_lm_and_langid_are_map_only(spark):
     """LM perplexity scoring and the language-ID cascade are single-pass
     Arrow map stages: zero exchanges, one ArrowEvalPython each (the

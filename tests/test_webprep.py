@@ -424,3 +424,70 @@ def test_c4_word_count_whitespace_runs(spark):
     [r] = c4_line_filter(df, out_col="clean", min_words=3).collect()
     # 'Go  on.' is 2 words despite the double space → dropped
     assert r["clean"] == "This one   truly  has five words."
+
+
+class TestPackTokenSequences:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id int, url string, tokens array<string>")
+
+    def test_roundtrip_and_boundaries(self, spark):
+        from collections import defaultdict
+
+        from ocr_obsidian_spark.operators.webprep import pack_token_sequences
+        from ocr_obsidian_spark.operators.xengine import md5_bucket
+
+        rows = [(i, f"u{i}", [f"t{i}_{j}" for j in range(i % 5 + 1)]) for i in range(20)]
+        df = self._df(spark, rows)
+        out = pack_token_sequences(df, seq_len=4, groups=3).collect()
+        got = defaultdict(list)
+        for r in sorted(out, key=lambda r: (r["shard_group"], r["seq_idx"])):
+            got[r["shard_group"]].extend(r["tokens"])
+        buckets = {
+            r["doc_id"]: r["b"]
+            for r in df.select(
+                "doc_id", md5_bucket(F.col("url").cast("string"), 3).alias("b")
+            ).collect()
+        }
+        want = defaultdict(list)
+        for i, _u, toks in sorted(rows):
+            want[buckets[i]].extend(toks + ["[EOS]"])
+        # chopping loses nothing and preserves stream order per group
+        assert dict(got) == dict(want)
+        # every sequence is full except each group's final one
+        last = {
+            g: max(r["seq_idx"] for r in out if r["shard_group"] == g)
+            for g in got
+        }
+        for r in out:
+            assert r["n_tokens"] == 4 or r["seq_idx"] == last[r["shard_group"]]
+            assert r["n_tokens"] == len(r["tokens"])
+
+    def test_deterministic_across_partitioning(self, spark):
+        from ocr_obsidian_spark.operators.webprep import pack_token_sequences
+
+        rows = [(i, f"u{i}", [f"w{j}" for j in range(i % 7 + 1)]) for i in range(30)]
+        a = pack_token_sequences(
+            self._df(spark, rows).repartition(1), seq_len=8, groups=4
+        ).collect()
+        b = pack_token_sequences(
+            self._df(spark, rows).repartition(16), seq_len=8, groups=4
+        ).collect()
+        key = lambda r: (r["shard_group"], r["seq_idx"])
+        assert sorted(a, key=key) == sorted(b, key=key)
+
+    def test_eos_per_document_and_empty_docs(self, spark):
+        from ocr_obsidian_spark.operators.webprep import pack_token_sequences
+
+        rows = [(1, "a", ["x", "y"]), (2, "b", []), (3, "c", ["z"])]
+        out = pack_token_sequences(self._df(spark, rows), seq_len=100, groups=1).collect()
+        toks = out[0]["tokens"]
+        assert toks.count("[EOS]") == 3  # one per doc, empty docs included
+        assert out[0]["n_tokens"] == 2 + 1 + 0 + 1 + 1 + 1
+
+    def test_seq_len_validation(self, spark):
+        import pytest
+
+        from ocr_obsidian_spark.operators.webprep import pack_token_sequences
+
+        with pytest.raises(ValueError):
+            pack_token_sequences(self._df(spark, []), seq_len=0)
