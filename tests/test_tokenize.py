@@ -140,3 +140,32 @@ def test_both_mode_matches_single_modes_and_post_fold(spark):
     for i, _ in rows:
         assert both[i]["wordpiece_tokens"] == char[i]["wordpiece_tokens"]
         assert both[i]["wordpiece_tokens_ww"] == word[i]["wordpiece_tokens"]
+
+
+def test_wordpiece_to_sequence_packing_end_to_end(spark):
+    """The real pipeline wiring: WordPiece tokens → fixed-width packed
+    training sequences. Every emitted token must be a vocab piece or
+    [EOS]; chopping loses nothing."""
+    from ocr_obsidian_spark.operators.tokenize import (
+        WORDPIECE_FIXTURE_VOCAB,
+        tokenize_wordpiece,
+    )
+    from ocr_obsidian_spark.operators.webprep import pack_token_sequences
+
+    rows = [
+        (i, f"https://h.test/{i}", "the running total of tokens grows " * (i % 4 + 1))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    toks = tokenize_wordpiece(df)
+    packed = pack_token_sequences(
+        toks, tokens_col="wordpiece_tokens", seq_len=16, groups=4
+    ).collect()
+    vocab = set(WORDPIECE_FIXTURE_VOCAB) | {"[EOS]", "[UNK]"}
+    total = 0
+    for r in packed:
+        assert r["n_tokens"] <= 16
+        assert all(t in vocab for t in r["tokens"])
+        total += r["n_tokens"]
+    n_tok = sum(r["n_wordpiece_tokens"] for r in toks.collect())
+    assert total == n_tok + len(rows)  # every token + one EOS per doc
