@@ -343,6 +343,73 @@ def q_subword_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_token_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver fold (round 5, keeps the registry at exactly 50 with
+    bpe_tokens added): the q_subword_tokens WordPiece columns plus the
+    cheap regex token counts that were the standalone token_counts entry
+    through round 4 — same doc grain, same injected text, one map-only
+    pipeline. bench.py still times q_token_counts and q_subword_tokens
+    separately, so their floor rows keep the round-4 definitions."""
+    from ocr_obsidian_spark.operators.textstats import with_token_counts
+    from ocr_obsidian_spark.operators.tokenize import tokenize_wordpiece
+
+    d = _t(spark, sf, "documents", spread=True)
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" résumé café naïveté")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return tokenize_wordpiece(
+        with_token_counts(injected), unk_mode="both"
+    ).select(
+        "doc_id",
+        F.array_join("wordpiece_tokens", "|").alias("tokens_str"),
+        F.col("n_wordpiece_tokens"),
+        F.array_join("wordpiece_tokens_ww", "|").alias("tokens_ww_str"),
+        F.col("n_wordpiece_tokens_ww").alias("n_ww_tokens"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_subword_tokens").cast("long").alias("n_subword_tokens"),
+    )
+
+
+def q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-level BPE (Sennrich et al. 2016) over the checked-in
+    fixture merge table: the exact token sequence (joined with '|') plus
+    the count. The oracle replays the SAME merge table with a DuckDB
+    recursive CTE — per distinct word, the lowest-rank adjacent pair
+    present is merged (first occurrence per step; provably equal to the
+    published pass-per-pair loop because merging (a,b) can never create
+    a new (a,b) adjacency), so both engines must agree on every merge
+    decision, not just the totals. Injected repeated-pair words (aaaa /
+    banana / abcabcabc) force the overlapping-occurrence path; U+001F is
+    stripped on both sides because the oracle uses it as the symbol
+    separator in its state strings."""
+    from ocr_obsidian_spark.operators.tokenize import tokenize_bpe
+
+    d = _t(spark, sf, "documents", spread=True)
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(
+                F.coalesce(F.col("text"), F.lit("")), "\x1f", ""
+            ),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(" aaaa banana bananas abcabcabc"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return tokenize_bpe(injected).select(
+        "doc_id",
+        F.array_join("bpe_tokens", "|").alias("bpe_str"),
+        F.col("n_bpe_tokens"),
+    )
+
+
 def q_quality_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-scoring features (ratios rounded for FP-stable hashing)."""
     from ocr_obsidian_spark.operators.textstats import with_quality_score
@@ -1378,8 +1445,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_join": q_theta_join,
         "asof_join": q_asof_join,
         "regex_filter": q_regex_filter,
-        "token_counts": q_token_counts,
-        "subword_tokens": q_subword_tokens,
+        # round 5: token_counts folded into the subword_tokens row (same
+        # doc grain, same injected text) to free the slot for bpe_tokens;
+        # q_token_counts / q_subword_tokens keep their bench rows
+        "subword_tokens": q_token_suite,
+        "bpe_tokens": q_bpe_tokens,
         "quality_stats": q_quality_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1885,12 +1955,105 @@ def _subword_tokens_sql() -> str:
                        string_agg(CASE WHEN acc_ww <> '' THEN acc_ww END,
                                   '|' ORDER BY wpos) AS ts_ww,
                        sum(cnt_ww) AS nt_ww
-                FROM fold GROUP BY doc_id)
-        SELECT doc_id, coalesce(ts, '') AS tokens_str,
+                FROM fold GROUP BY doc_id),
+        -- the folded-in token_counts columns (round-5 registry fold):
+        -- same expressions the standalone entry used through round 4,
+        -- now over the SAME injected text as the WordPiece columns
+        cnts AS (SELECT doc_id,
+                        CASE WHEN length(norm) = 0 THEN 0
+                             ELSE len(string_split(norm, ' ')) END
+                            AS n_ws_tokens,
+                        len(regexp_extract_all(
+                            norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                            AS n_subword_tokens
+                 FROM nrm)
+        SELECT agg.doc_id, coalesce(ts, '') AS tokens_str,
                CAST(coalesce(nt, 0) AS BIGINT) AS n_wordpiece_tokens,
                coalesce(ts_ww, '') AS tokens_ww_str,
-               CAST(coalesce(nt_ww, 0) AS BIGINT) AS n_ww_tokens
-        FROM agg
+               CAST(coalesce(nt_ww, 0) AS BIGINT) AS n_ww_tokens,
+               CAST(cnts.n_ws_tokens AS BIGINT) AS n_ws_tokens,
+               CAST(cnts.n_subword_tokens AS BIGINT) AS n_subword_tokens
+        FROM agg JOIN cnts USING (doc_id)
+    """
+
+
+def _bpe_tokens_sql() -> str:
+    """DuckDB twin of q_bpe_tokens: a recursive CTE replays the BPE
+    inference loop per DISTINCT word. A word's state is its symbol
+    sequence as a string with U+001F separators around every symbol
+    (U+001F is stripped from the input on both sides, so a pattern
+    ``sep||a||sep||b||sep`` can only ever match at real symbol
+    boundaries); each step merges the FIRST occurrence of the
+    lowest-rank pair present (equal to the published pass-per-pair loop
+    — merging (a,b) can never create a new (a,b) adjacency, so taking
+    occurrences one at a time visits them in the same left-to-right
+    order; the non-overlapping semantics of "aaaa" → [aa, aa] fall out
+    because the first merge consumes both separators around the pair).
+    The merge-table literals are generated from the SAME python tuple
+    the Spark UDF closes over."""
+    from ocr_obsidian_spark.operators.tokenize import BPE_FIXTURE_MERGES
+
+    rows = ", ".join(
+        "({}, '{}', '{}')".format(
+            i, a.replace("'", "''"), b.replace("'", "''")
+        )
+        for i, (a, b) in enumerate(BPE_FIXTURE_MERGES)
+    )
+    return f"""
+        WITH RECURSIVE
+        m AS (SELECT r, chr(31)||a||chr(31)||b||chr(31) AS pat,
+                     chr(31)||a||b||chr(31) AS rep
+              FROM (VALUES {rows}) AS t(r, a, b)),
+        inj AS (SELECT doc_id,
+                       replace(coalesce(text, ''), chr(31), '')
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN ' aaaa banana bananas abcabcabc'
+                               ELSE '' END AS text
+                FROM documents),
+        nrm AS (SELECT doc_id, {_NORM_SQL} AS norm FROM inj),
+        words AS (SELECT doc_id, i AS wpos, toks[i] AS word
+                  FROM (SELECT doc_id, toks,
+                               unnest(generate_series(1, len(toks))) AS i
+                        FROM (SELECT doc_id, string_split(norm, ' ') AS toks
+                              FROM nrm))
+                  WHERE toks[i] <> ''),
+        dw AS (SELECT DISTINCT word FROM words),
+        init AS (SELECT word,
+                        chr(31) || array_to_string(
+                            regexp_extract_all(word, '.'), chr(31))
+                                || chr(31) AS state
+                 FROM dw),
+        rec AS (
+            SELECT word, state FROM init
+          UNION ALL
+            SELECT word,
+                   substr(state, 1, instr(state, bm['pat']) - 1)
+                   || bm['rep']
+                   || substr(state,
+                             instr(state, bm['pat']) + length(bm['pat']))
+                       AS state
+            FROM (SELECT word, state,
+                         (SELECT min_by({{'pat': m.pat, 'rep': m.rep}}, m.r)
+                          FROM m WHERE instr(r.state, m.pat) > 0) AS bm
+                  FROM rec r)
+            WHERE bm['pat'] IS NOT NULL
+        ),
+        fin AS (SELECT word, state FROM rec r
+                WHERE NOT EXISTS (SELECT 1 FROM m
+                                  WHERE instr(r.state, m.pat) > 0)),
+        wt AS (SELECT word,
+                      replace(trim(state, chr(31)), chr(31), '|') AS toks,
+                      length(state) - length(replace(state, chr(31), '')) - 1
+                          AS cnt
+               FROM fin),
+        agg AS (SELECT w.doc_id,
+                       string_agg(wt.toks, '|' ORDER BY w.wpos) AS ts,
+                       sum(wt.cnt) AS nt
+                FROM words w JOIN wt USING (word)
+                GROUP BY w.doc_id)
+        SELECT d.doc_id, coalesce(a.ts, '') AS bpe_str,
+               CAST(coalesce(a.nt, 0) AS BIGINT) AS n_bpe_tokens
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """
 
 
@@ -2217,13 +2380,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "subword_tokens": _subword_tokens_sql(),
-        "token_counts": f"""
-            SELECT doc_id,
-                   CASE WHEN length(norm) = 0 THEN 0
-                        ELSE len(string_split(norm, ' ')) END AS n_ws_tokens,
-                   len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subword_tokens
-            FROM (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
-        """,
+        "bpe_tokens": _bpe_tokens_sql(),
         "quality_stats": f"""
             WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
             feats AS (

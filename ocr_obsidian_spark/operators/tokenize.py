@@ -35,7 +35,8 @@ the UDF closure once per worker (a real 30k-entry vocab is ~300 KB).
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections import Counter
+from collections.abc import Mapping, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -202,4 +203,156 @@ def tokenize_wordpiece(
             "n_wordpiece_tokens_ww", F.size(f"{tokens_col}_ww").cast("long")
         )
         .drop("_wp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Byte-pair encoding (Sennrich et al. 2016, "Neural Machine Translation of
+# Rare Words with Subword Units") — trainer + encoder. Character-level BPE
+# over whitespace-split words: merges never cross a word boundary and there
+# is no explicit end-of-word marker (the word split already provides the
+# boundary; documented deviation from the paper's `</w>` variant, chosen so
+# token surface strings contain only characters of the source text and stay
+# exactly replayable in the cross-engine oracle).
+# ---------------------------------------------------------------------------
+
+# Fixture training corpus for the checked-in merge table: lowercase ascii
+# prose with deliberate high-frequency character pairs, plus repeated-pair
+# words (aaaa / abab / banana) so the fixture merges exercise the
+# overlapping-occurrence path of the encoder (merging ('a','a') in "aaaa"
+# must yield [aa, aa], matching the left-to-right one-pass semantics).
+BPE_SEED_CORPUS = (
+    "the banana data was packed over and over into the data shard while "
+    "the tokenizer trained on the training data corpus the lower newest "
+    "widest pages were rendered and the banana pages were deduplicated "
+    "again and again the corpus contains many tokens and many pages and "
+    "the trainer counts pairs of characters that appear together most "
+    "often and then merges them into larger units until the merge budget "
+    "is spent the merges are ranked and the ranks are applied in order "
+    "aaaa aaaa abab abab banana bananas better letter little settle"
+)
+
+
+def _merge_pass(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    """One left-to-right non-overlapping merge pass of ``pair`` over a
+    symbol sequence — the exact published semantics: after a merge the
+    cursor advances past the merged symbol, so "aaa" under ('a','a')
+    becomes [aa, a] and "aaaa" becomes [aa, aa]."""
+    a, b = pair
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe(
+    word_freqs: Mapping[str, int], n_merges: int = 120, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from word frequencies (Sennrich et al.
+    2016 algorithm 1): repeatedly count adjacent symbol pairs weighted by
+    word frequency, merge the most frequent pair, record it. Fully
+    deterministic: ties on count break to the lexicographically smallest
+    pair. Stops early when the best pair occurs fewer than ``min_count``
+    times (degenerate single-occurrence merges only memorize the corpus).
+
+    This is the DRIVER-SIDE trainer for fixture/test vocabularies — at
+    production scale pair counting is a corpus-wide aggregation done once
+    offline; the distributed operator is the ENCODER (``tokenize_bpe``),
+    which only ever ships the learned table in a closure."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, f in word_freqs.items():
+        if w:
+            vocab[tuple(w)] = vocab.get(tuple(w), 0) + f
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[syms[i], syms[i + 1]] += f
+        if not pairs:
+            break
+        best_count = max(pairs.values())
+        if best_count < min_count:
+            break
+        best = min(p for p, c in pairs.items() if c == best_count)
+        merges.append(best)
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            new_vocab[_merge_pass(syms, best)] = f
+        vocab = new_vocab
+    return merges
+
+
+BPE_FIXTURE_MERGES: tuple[tuple[str, str], ...] = tuple(
+    train_bpe(Counter(BPE_SEED_CORPUS.split()), n_merges=120)
+)
+
+
+def bpe_encode_word(word: str, ranks: Mapping[tuple[str, str], int]) -> list[str]:
+    """Encode one word with a learned merge table: repeatedly apply the
+    LOWEST-RANK pair present (one left-to-right pass per pair), until no
+    adjacent pair is in the table — the standard BPE inference loop."""
+    syms: tuple[str, ...] = tuple(word)
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        syms = _merge_pass(syms, best_pair)
+    return list(syms)
+
+
+def _bpe_udf(merges: Sequence[tuple[str, str]]):
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf(T.ArrayType(T.StringType(), False))
+    def tok(norm_text: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def one(text: str | None) -> list[str]:
+            if not text:
+                return []
+            out: list[str] = []
+            for word in text.split(" "):
+                if not word:
+                    continue
+                got = cache.get(word)
+                if got is None:
+                    got = bpe_encode_word(word, ranks)
+                    cache[word] = got
+                out.extend(got)
+            return out
+
+        return norm_text.map(one)
+
+    return tok
+
+
+def tokenize_bpe(
+    df: DataFrame,
+    *,
+    merges: Sequence[tuple[str, str]] = BPE_FIXTURE_MERGES,
+    text_col: str = "text",
+    tokens_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Add ``tokens_col`` (array<string>, the BPE tokens in order) and
+    ``n_bpe_tokens`` (long). Normalization (lowercase + whitespace
+    collapse) runs JVM-side via the shared textstats norm expression;
+    only the per-word merge loop is Python (Arrow-batched, with a
+    per-batch word cache — web text is zipfian, so the cache hit rate is
+    high). Map-only: zero shuffles, embarrassingly parallel at 100 TB;
+    the merge table rides in the closure (a real 50k-merge GPT-2-scale
+    table is ~500 KB, same order as the WordPiece vocab above)."""
+    toks = _bpe_udf(merges)(_norm(text_col))
+    return df.withColumn(tokens_col, toks).withColumn(
+        "n_bpe_tokens", F.size(tokens_col).cast("long")
     )

@@ -264,3 +264,14 @@ def test_large_blocklist_corpus_never_shuffles(spark):
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "SortMergeJoin" not in p
     assert "monotonically_increasing_id" not in p
+
+
+def test_bpe_tokenize_is_map_only(spark):
+    """BPE encoding is a single Arrow map stage: the merge table rides in
+    the closure, zero exchanges."""
+    from ocr_obsidian_spark.operators.tokenize import tokenize_bpe
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_str(tokenize_bpe(docs), mode="simple")
+    assert "Exchange" not in p
+    assert p.count("ArrowEvalPython") == 1

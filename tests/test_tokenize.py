@@ -169,3 +169,94 @@ def test_wordpiece_to_sequence_packing_end_to_end(spark):
         total += r["n_tokens"]
     n_tok = sum(r["n_wordpiece_tokens"] for r in toks.collect())
     assert total == n_tok + len(rows)  # every token + one EOS per doc
+
+
+# ---------------------------------------------------------------------------
+# BPE (Sennrich et al. 2016): trainer determinism, encoder semantics and
+# the Spark operator
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_trainer_on_the_published_example():
+    """The paper's worked example (low/lower/newest/widest) — hand-checked
+    first merges under the no-end-of-word-marker variant: ('e','s') and
+    ('s','t') tie at 9, lexicographic tie-break picks ('e','s'); then
+    ('es','t') dominates at 9; then the l-o-w chain."""
+    from ocr_obsidian_spark.operators.tokenize import train_bpe
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe(freqs, n_merges=4)
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    # determinism: same input, same table
+    assert merges == train_bpe(dict(freqs), n_merges=4)
+
+
+def test_bpe_encoder_overlap_semantics():
+    """Left-to-right non-overlapping pass: 'aaaa' -> [aa, aa],
+    'aaa' -> [aa, a] (then the rank-1 chain can continue)."""
+    from ocr_obsidian_spark.operators.tokenize import bpe_encode_word
+
+    ranks = {("a", "a"): 0}
+    assert bpe_encode_word("aaaa", ranks) == ["aa", "aa"]
+    assert bpe_encode_word("aaa", ranks) == ["aa", "a"]
+    ranks2 = {("a", "a"): 0, ("aa", "aa"): 1, ("aa", "a"): 2}
+    assert bpe_encode_word("aaaa", ranks2) == ["aaaa"]
+    assert bpe_encode_word("aaaaa", ranks2) == ["aaaa", "a"]
+
+
+def test_bpe_encoder_matches_rank_order_pass_reference():
+    """The min-rank loop equals the published apply-merges-in-training-
+    order encoding (a pair of rank r can only be created by merges of
+    lower rank, so processing ranks in order never misses one). The
+    reference here applies each merge as one full pass in rank order."""
+    import random
+
+    from ocr_obsidian_spark.operators.tokenize import (
+        BPE_FIXTURE_MERGES,
+        _merge_pass,
+        bpe_encode_word,
+    )
+
+    ranks = {p: i for i, p in enumerate(BPE_FIXTURE_MERGES)}
+    rng = random.Random(5)
+    alphabet = "abdelnorstw"
+    for _ in range(300):
+        word = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+        syms = tuple(word)
+        for pair in BPE_FIXTURE_MERGES:
+            syms = _merge_pass(syms, pair)
+        assert bpe_encode_word(word, ranks) == list(syms), word
+
+
+def test_tokenize_bpe_spark(spark):
+    from ocr_obsidian_spark.operators.tokenize import (
+        BPE_FIXTURE_MERGES,
+        bpe_encode_word,
+        tokenize_bpe,
+    )
+
+    rows = [
+        (1, "The BANANA  data was Packed"),
+        (2, ""),
+        (3, None),
+        (4, "bananas xyzzy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+        for r in tokenize_bpe(df).collect()
+    }
+    ranks = {p: i for i, p in enumerate(BPE_FIXTURE_MERGES)}
+
+    def ref(text):
+        out = []
+        for w in text.split(" "):
+            if w:
+                out.extend(bpe_encode_word(w, ranks))
+        return out
+
+    assert got[1] == (ref("the banana data was packed"), len(ref("the banana data was packed")))
+    assert got[2] == ([], 0) and got[3] == ([], 0)
+    assert got[4] == (ref("bananas xyzzy"), len(ref("bananas xyzzy")))
+    # the fixture table actually merges: 'banana' is one token
+    assert "banana" in got[1][0]
