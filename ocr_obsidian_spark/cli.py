@@ -314,6 +314,53 @@ def run_score(args) -> int:
     return 0
 
 
+def run_tokenize(args) -> int:
+    """documents table → real tokenizer tokens (greedy WordPiece or
+    character-level BPE — the checked-in fixture vocab/merge tables;
+    deployments pass their own trained tables through the YAML config),
+    optionally packed into fixed-width GPT-style training sequences
+    (operators/tokenize.py + webprep.pack_token_sequences)."""
+    from .operators.tokenize import tokenize_bpe, tokenize_wordpiece
+    from .sources.io import write_table
+
+    spark = _session(args)
+    _check_out(args.out, args.overwrite)
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+    if args.tokenizer == "bpe":
+        toks = tokenize_bpe(docs, text_col=args.text_col)
+        tokens_col = "bpe_tokens"
+    else:
+        toks = tokenize_wordpiece(
+            docs, text_col=args.text_col, unk_mode=args.unk_mode
+        )
+        tokens_col = "wordpiece_tokens"
+    out = toks
+    if args.pack_seq_len:
+        from .operators.webprep import pack_token_sequences
+
+        if args.key_col not in toks.columns:
+            raise ConfigError(
+                f"--pack-seq-len needs grouping column {args.key_col!r} "
+                f"(pass --key-col; input has {sorted(docs.columns)})"
+            )
+        out = pack_token_sequences(
+            toks,
+            tokens_col=tokens_col,
+            id_col=args.id_col,
+            key_col=args.key_col,
+            seq_len=args.pack_seq_len,
+            groups=args.pack_groups,
+        )
+    write_table(
+        out, args.out, mode="overwrite" if args.overwrite == "always" else "error"
+    )
+    n_out = spark.read.parquet(args.out).count()
+    what = "sequences" if args.pack_seq_len else "docs"
+    print(f"tokenize[{args.tokenizer}]: {n_in} docs -> {n_out} {what} at {args.out}")
+    return 0
+
+
 def run_webprep(args) -> int:
     """documents table → prepared table: optional per-domain cap →
     deterministic hash sample → decontamination vs a benchmark table →
@@ -485,6 +532,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shingle-k", type=int, default=8)
     p.add_argument("--scrub-pii", action="store_true")
     p.set_defaults(handler=run_webprep)
+
+    p = sub.add_parser(
+        "tokenize",
+        help="documents table → tokenizer tokens, optionally packed sequences.",
+    )
+    _add_common(p)
+    p.add_argument("--docs", required=True, help="input documents parquet")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--key-col", default="url",
+                   help="packing group key (pure function of this column)")
+    p.add_argument("--tokenizer", choices=["wordpiece", "bpe"],
+                   default="wordpiece")
+    p.add_argument("--unk-mode", choices=["char", "word"], default="char",
+                   help="WordPiece [UNK] policy (char fallback / whole word)")
+    p.add_argument("--pack-seq-len", type=int, default=0,
+                   help="chop token streams into N-token training sequences (0 = off)")
+    p.add_argument("--pack-groups", type=int, default=64)
+    p.set_defaults(handler=run_tokenize)
 
     p = sub.add_parser("smoke", help="chain all five stages on fixtures.")
     _add_common(p)

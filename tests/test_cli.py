@@ -185,3 +185,47 @@ def test_score_subcommand(tmp_path, spark):
     assert spark.read.parquet(out2).count() == 0
     # overwrite refusal keeps the reference exit-code contract
     assert main(["score", "--docs", src, "--out", out]) == 4
+
+
+def test_tokenize_subcommand(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(24)
+    src = str(tmp_path / "tk_docs")
+    docs.write.parquet(src)
+    # wordpiece (default), doc-grain output
+    out = str(tmp_path / "tk_wp")
+    assert main(["tokenize", "--docs", src, "--out", out]) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 24
+    assert "wordpiece_tokens" in got.columns and "n_wordpiece_tokens" in got.columns
+    # bpe + packing into fixed-width sequences (documents has no url
+    # column, so the packing key is the id itself)
+    out2 = str(tmp_path / "tk_bpe_pack")
+    assert main([
+        "tokenize", "--docs", src, "--out", out2, "--tokenizer", "bpe",
+        "--pack-seq-len", "32", "--pack-groups", "4", "--key-col", "doc_id",
+    ]) == 0
+    packed = spark.read.parquet(out2)
+    assert set(packed.columns) == {"shard_group", "seq_idx", "n_tokens", "tokens"}
+    assert packed.filter(F.col("n_tokens") > 32).count() == 0
+    # conservation: every token plus one EOS per doc survives the chop
+    n_tok = (
+        spark.read.parquet(out)  # wordpiece counts differ; recount bpe
+        .sparkSession.read.parquet(src).count()
+    )
+    from ocr_obsidian_spark.operators.tokenize import tokenize_bpe
+
+    total_bpe = (
+        tokenize_bpe(spark.read.parquet(src))
+        .agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    )
+    got_total = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    assert got_total == total_bpe + 24  # one [EOS] per doc
+    assert n_tok == 24
+    # missing packing key (default url, absent here) fails closed with
+    # the config exit code
+    out3 = str(tmp_path / "tk_bad")
+    assert main([
+        "tokenize", "--docs", src, "--out", out3, "--pack-seq-len", "8",
+    ]) == 3
