@@ -410,6 +410,73 @@ def q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bpe_unigram_injected(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared injected input for the bpe/unigram driver fold: U+001F
+    stripped (both oracles use it as a state/path separator), repeated-
+    pair words on every 4th doc (BPE overlapping-occurrence path),
+    accented words + a 30-char word on every 5th doc (unigram UNK-char
+    cost and the >24-char whole-word fallback)."""
+    d = _t(spark, sf, "documents", spread=True)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(
+                F.coalesce(F.col("text"), F.lit("")), "\x1f", ""
+            ),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(" aaaa banana bananas abcabcabc"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" résumé écran " + "ab" * 15),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_unigram_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style, Kudo 2018) Viterbi tokenization
+    over the checked-in integer-quantized cost table: exact token
+    sequence, count, and the integer Viterbi objective (a real -log10
+    likelihood in micro units). Standalone for bench; the driver row is
+    the q_bpe_suite fold."""
+    from ocr_obsidian_spark.operators.tokenize import tokenize_unigram
+
+    return tokenize_unigram(_bpe_unigram_injected(spark, sf)).select(
+        "doc_id",
+        F.array_join("unigram_tokens", "|").alias("unigram_str"),
+        F.col("n_unigram_tokens"),
+        F.col("unigram_cost_micro"),
+    )
+
+
+def q_bpe_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver fold (keeps the registry at exactly 50 with the unigram
+    tokenizer added): the q_bpe_tokens columns plus the unigram-LM
+    Viterbi columns over the same injected input — same doc grain, both
+    map-only, one pipeline. The oracle replays BOTH: the BPE recursive
+    CTE (every merge decision) and a generated unrolled-DP twin of the
+    Viterbi (min over (cost, n_pieces, path) at every position over the
+    SAME cost literals), so the engines must agree on every merge AND
+    every DP argmin, not just totals. bench.py times q_bpe_tokens and
+    q_unigram_tokens separately so floor rows keep per-op definitions."""
+    from ocr_obsidian_spark.operators.tokenize import (
+        tokenize_bpe,
+        tokenize_unigram,
+    )
+
+    injected = _bpe_unigram_injected(spark, sf)
+    return tokenize_unigram(tokenize_bpe(injected)).select(
+        "doc_id",
+        F.array_join("bpe_tokens", "|").alias("bpe_str"),
+        F.col("n_bpe_tokens"),
+        F.array_join("unigram_tokens", "|").alias("unigram_str"),
+        F.col("n_unigram_tokens"),
+        F.col("unigram_cost_micro"),
+    )
+
+
 def q_quality_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-scoring features (ratios rounded for FP-stable hashing)."""
     from ocr_obsidian_spark.operators.textstats import with_quality_score
@@ -1449,7 +1516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc grain, same injected text) to free the slot for bpe_tokens;
         # q_token_counts / q_subword_tokens keep their bench rows
         "subword_tokens": q_token_suite,
-        "bpe_tokens": q_bpe_tokens,
+        # round 5 (late): unigram-LM tokenizer folded onto the BPE row —
+        # q_bpe_tokens / q_unigram_tokens keep separate bench rows
+        "bpe_tokens": q_bpe_suite,
         "quality_stats": q_quality_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1908,7 +1977,7 @@ def _subword_tokens_sql() -> str:
                            AS text
                 FROM documents),
         nrm AS (SELECT doc_id, {_NORM_SQL} AS norm FROM inj),
-        words AS (SELECT doc_id, i AS wpos, toks[i] AS word
+        words AS MATERIALIZED (SELECT doc_id, i AS wpos, toks[i] AS word
                   FROM (SELECT doc_id, toks,
                                unnest(generate_series(1, len(toks))) AS i
                         FROM (SELECT doc_id, string_split(norm, ' ') AS toks
@@ -1977,6 +2046,89 @@ def _subword_tokens_sql() -> str:
     """
 
 
+def _unigram_dp_ctes() -> str:
+    """Generated DuckDB twin of the unigram Viterbi (tokenize.py
+    viterbi_segment): an UNROLLED DP — one CTE per character position
+    (duckdb 1.0 recursive CTEs cannot keep a per-(word,pos) argmin, so
+    the chain u1..u{N} states the recurrence directly). Step k takes,
+    per word, the row minimizing (cost, n, path) over the last
+    max_piece_len predecessors: the single-char branch coalesces a
+    missing vocab entry to the UNK cost (full coverage), multi-char
+    branches inner-join the cost table. The tuple order is prefix-
+    monotone (U+001F sorts below every text character — module contract
+    in tokenize.py), so per-position argmin IS the global optimum, and
+    ORDER BY cost, n, path in the window is exactly python's tuple
+    compare (DuckDB binary collation == code-point order == UTF-8 byte
+    order). Words longer than the unroll cap take the whole-word
+    fallback branch, same as the UDF. Cost literals are generated from
+    the SAME dict the Spark UDF closes over; all arithmetic is 64-bit
+    integer — no float is ever hashed."""
+    from ocr_obsidian_spark.operators.tokenize import (
+        UNIGRAM_FIXTURE_COSTS,
+        UNIGRAM_MAX_PIECE_LEN,
+        UNIGRAM_MAX_WORD_CHARS,
+        UNIGRAM_UNK_COST,
+    )
+
+    rows = ", ".join(
+        "('{}', {})".format(p.replace("'", "''"), c)
+        for p, c in sorted(UNIGRAM_FIXTURE_COSTS.items())
+    )
+    n_max, plen, unk = UNIGRAM_MAX_WORD_CHARS, UNIGRAM_MAX_PIECE_LEN, UNIGRAM_UNK_COST
+    ctes = [
+        f"voc AS MATERIALIZED"
+        f" (SELECT piece, vcost FROM (VALUES {rows}) AS t(piece, vcost))",
+        f"u0 AS MATERIALIZED"
+        f" (SELECT word, CAST(0 AS BIGINT) AS cost, 0 AS n, '' AS path"
+        f" FROM dw WHERE length(word) <= {n_max})",
+    ]
+    for k in range(1, n_max + 1):
+        branches = [
+            f"SELECT b.word, b.cost + coalesce(v.vcost, {unk}) AS cost,"
+            f" b.n + 1 AS n,"
+            f" b.path || chr(31) || substr(b.word, {k}, 1) AS path"
+            f" FROM u{k - 1} b LEFT JOIN voc v"
+            f" ON v.piece = substr(b.word, {k}, 1)"
+            f" WHERE length(b.word) >= {k}"
+        ]
+        for j in range(max(0, k - plen), k - 1):
+            branches.append(
+                f"SELECT b.word, b.cost + v.vcost, b.n + 1,"
+                f" b.path || chr(31) || substr(b.word, {j + 1}, {k - j})"
+                f" FROM u{j} b JOIN voc v"
+                f" ON v.piece = substr(b.word, {j + 1}, {k - j})"
+                f" WHERE length(b.word) >= {k}"
+            )
+        union = " UNION ALL ".join(branches)
+        ctes.append(
+            f"u{k} AS MATERIALIZED (SELECT word, cost, n, path FROM"
+            f" (SELECT word, cost, n, path, row_number() OVER"
+            f" (PARTITION BY word ORDER BY cost, n, path) AS rn"
+            f" FROM ({union})) WHERE rn = 1)"
+        )
+    fin = " UNION ALL ".join(
+        f"SELECT word, cost, n, path FROM u{k} WHERE length(word) = {k}"
+        for k in range(1, n_max + 1)
+    )
+    ctes.append(
+        f"ufin AS MATERIALIZED ({fin} UNION ALL"
+        f" SELECT word, CAST({unk} AS BIGINT) * length(word), 1,"
+        f" chr(31) || word FROM dw WHERE length(word) > {n_max})"
+    )
+    ctes.append(
+        "ut AS (SELECT word,"
+        " replace(trim(path, chr(31)), chr(31), '|') AS toks, n, cost"
+        " FROM ufin)"
+    )
+    ctes.append(
+        "uagg AS (SELECT w.doc_id,"
+        " string_agg(ut.toks, '|' ORDER BY w.wpos) AS uts,"
+        " sum(ut.n) AS un, sum(ut.cost) AS uc"
+        " FROM words w JOIN ut USING (word) GROUP BY w.doc_id)"
+    )
+    return ", ".join(ctes)
+
+
 def _bpe_tokens_sql() -> str:
     """DuckDB twin of q_bpe_tokens: a recursive CTE replays the BPE
     inference loop per DISTINCT word. A word's state is its symbol
@@ -2008,16 +2160,19 @@ def _bpe_tokens_sql() -> str:
                        replace(coalesce(text, ''), chr(31), '')
                        || CASE WHEN doc_id % 4 = 0
                                THEN ' aaaa banana bananas abcabcabc'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' résumé écran {"ab" * 15}'
                                ELSE '' END AS text
                 FROM documents),
         nrm AS (SELECT doc_id, {_NORM_SQL} AS norm FROM inj),
-        words AS (SELECT doc_id, i AS wpos, toks[i] AS word
+        words AS MATERIALIZED (SELECT doc_id, i AS wpos, toks[i] AS word
                   FROM (SELECT doc_id, toks,
                                unnest(generate_series(1, len(toks))) AS i
                         FROM (SELECT doc_id, string_split(norm, ' ') AS toks
                               FROM nrm))
                   WHERE toks[i] <> ''),
-        dw AS (SELECT DISTINCT word FROM words),
+        dw AS MATERIALIZED (SELECT DISTINCT word FROM words),
         init AS (SELECT word,
                         chr(31) || array_to_string(
                             regexp_extract_all(word, '.'), chr(31))
@@ -2050,10 +2205,15 @@ def _bpe_tokens_sql() -> str:
                        string_agg(wt.toks, '|' ORDER BY w.wpos) AS ts,
                        sum(wt.cnt) AS nt
                 FROM words w JOIN wt USING (word)
-                GROUP BY w.doc_id)
+                GROUP BY w.doc_id),
+        {_unigram_dp_ctes()}
         SELECT d.doc_id, coalesce(a.ts, '') AS bpe_str,
-               CAST(coalesce(a.nt, 0) AS BIGINT) AS n_bpe_tokens
+               CAST(coalesce(a.nt, 0) AS BIGINT) AS n_bpe_tokens,
+               coalesce(ua.uts, '') AS unigram_str,
+               CAST(coalesce(ua.un, 0) AS BIGINT) AS n_unigram_tokens,
+               CAST(coalesce(ua.uc, 0) AS BIGINT) AS unigram_cost_micro
         FROM documents d LEFT JOIN agg a USING (doc_id)
+                         LEFT JOIN uagg ua USING (doc_id)
     """
 
 

@@ -147,8 +147,9 @@ def main() -> None:
         # rows are NEW definitions this round — model cascade / both-mode
         # tokenization — not comparable to any earlier row)
         "substr_dedup", "lm_ppl", "lang_id", "pack_sequences",
-        # round 5 (late): character-level BPE over the fixture merge table
-        "bpe_tokens",
+        # round 5 (late): character-level BPE over the fixture merge
+        # table, then unigram-LM Viterbi over the fixture cost table
+        "bpe_tokens", "unigram_tokens",
     ]
     if only and only != "extract":
         # targeted mode for scaling probes: comma-separated query names,

@@ -35,6 +35,7 @@ the UDF closure once per worker (a real 30k-entry vocab is ~300 KB).
 
 from __future__ import annotations
 
+import math
 from collections import Counter
 from collections.abc import Mapping, Sequence
 
@@ -355,4 +356,214 @@ def tokenize_bpe(
     toks = _bpe_udf(merges)(_norm(text_col))
     return df.withColumn(tokens_col, toks).withColumn(
         "n_bpe_tokens", F.size(tokens_col).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model tokenizer (Kudo 2018, "Subword Regularization:
+# Improving Neural Network Translation Models with Multiple Subword
+# Candidates" — the SentencePiece unigram model). Inference is Viterbi:
+# the segmentation minimizing the sum of per-piece costs, where
+# cost(piece) = -log P(piece). Costs are INTEGER-quantIZED micro-log10
+# units (round(-log10 p * 1e6)) so scoring is exact 64-bit integer
+# arithmetic in both engines — the same oracle pattern that made lm_ppl
+# and the NB language cascade bit-exact (no float is ever compared).
+#
+# Deterministic semantics (pinned by the driver oracle — a generated
+# unrolled-DP DuckDB twin replaying the same Viterbi over the same cost
+# literals):
+#   * text normalized EXACTLY like the other tokenizers (lowercase +
+#     whitespace collapse), split on single spaces; empty words nothing;
+#   * within a word, best[k] = min over the last `max_piece_len`
+#     predecessors j of best[j] + cost(word[j:k]); a length-1 piece
+#     absent from the vocab scores UNIGRAM_UNK_COST (single characters
+#     are therefore always admissible, so every word segments);
+#   * ties break on the tuple (cost, n_pieces, path) where path is the
+#     U+001F-joined piece string — path comparison is decided strictly
+#     before any appended suffix matters (two different segmentations of
+#     the same prefix first differ at a separator-vs-character position,
+#     and U+001F sorts below every text character), so the tuple order
+#     is prefix-monotone and the DP argmin is globally optimal;
+#   * words longer than `max_word_chars` skip the DP and emit the WHOLE
+#     word as one token costing len(word) * UNIGRAM_UNK_COST (bounds the
+#     oracle's DP unroll and the UDF's worst case; concat(tokens) per
+#     word == word holds in every mode).
+# ---------------------------------------------------------------------------
+
+UNIGRAM_SEP = "\x1f"
+UNIGRAM_MAX_PIECE_LEN = 6
+UNIGRAM_MAX_WORD_CHARS = 24
+# cost of an out-of-vocabulary single character: p = 1e-12
+UNIGRAM_UNK_COST = 12_000_000
+
+
+def _counts_to_costs(counts: Mapping[str, int]) -> dict[str, int]:
+    total = sum(counts.values())
+    return {
+        p: max(1, round(-math.log10(c / total) * 1_000_000))
+        for p, c in sorted(counts.items())
+    }
+
+
+def viterbi_segment(
+    word: str,
+    costs: Mapping[str, int],
+    *,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    unk_cost: int = UNIGRAM_UNK_COST,
+) -> tuple[list[str], int]:
+    """Min-cost segmentation of one word (see module-section contract).
+    Returns (pieces, total_cost_micro)."""
+    n = len(word)
+    if n == 0:
+        return [], 0
+    best: list[tuple[int, int, str] | None] = [None] * (n + 1)
+    best[0] = (0, 0, "")
+    for k in range(1, n + 1):
+        cand: tuple[int, int, str] | None = None
+        for j in range(max(0, k - max_piece_len), k):
+            prev = best[j]
+            if prev is None:
+                continue
+            piece = word[j:k]
+            c = costs.get(piece)
+            if c is None:
+                if k - j != 1:
+                    continue
+                c = unk_cost
+            t = (prev[0] + c, prev[1] + 1, prev[2] + UNIGRAM_SEP + piece)
+            if cand is None or t < cand:
+                cand = t
+        best[k] = cand
+    cost, _, path = best[n]  # type: ignore[misc]
+    return path.split(UNIGRAM_SEP)[1:], cost
+
+
+def train_unigram(
+    word_freqs: Mapping[str, int],
+    *,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    min_count: int = 2,
+    n_iters: int = 3,
+) -> dict[str, int]:
+    """Learn a unigram piece-cost table: seed with every substring of
+    length 1..max_piece_len (frequency-weighted), then hard-EM — Viterbi
+    re-segment the corpus under the current costs, recount piece usage,
+    re-derive costs — the Viterbi-counts variant of Kudo 2018's EM (the
+    posterior sum is replaced by the argmax path, a standard hard-EM
+    simplification; documented deviation). Single characters are never
+    pruned (full coverage); unused kept pieces get add-one smoothing.
+    Fully deterministic. Driver-side trainer for fixture/test vocabs —
+    at production scale piece counting is one corpus aggregation done
+    offline; the distributed operator is the ENCODER below."""
+    counts: Counter[str] = Counter()
+    for w, f in word_freqs.items():
+        n = len(w)
+        for i in range(n):
+            for ln in range(1, min(max_piece_len, n - i) + 1):
+                counts[w[i : i + ln]] += f
+    vocab = {p: c for p, c in counts.items() if c >= min_count or len(p) == 1}
+    costs = _counts_to_costs(vocab)
+    for _ in range(n_iters):
+        usage: Counter[str] = Counter()
+        for w, f in word_freqs.items():
+            for p in viterbi_segment(w, costs, max_piece_len=max_piece_len)[0]:
+                usage[p] += f
+        vocab = {
+            p: usage[p] for p in vocab if usage[p] > 0 or len(p) == 1
+        }
+        costs = _counts_to_costs({p: c if c > 0 else 1 for p, c in vocab.items()})
+    return costs
+
+
+# Fixture seed: the BPE corpus plus digits/punctuation-bearing words so
+# the single-character floor covers more of the real alphabet (unknown
+# characters still score UNIGRAM_UNK_COST — exercised by the driver
+# query's accented injection).
+UNIGRAM_SEED_CORPUS = BPE_SEED_CORPUS + (
+    " 2021 2022 100 3.5 (tokens) data-set, shard; end. the end. 100 pages"
+)
+
+UNIGRAM_FIXTURE_COSTS: dict[str, int] = train_unigram(
+    Counter(UNIGRAM_SEED_CORPUS.split())
+)
+
+
+def _unigram_udf(costs: Mapping[str, int], *, max_piece_len: int,
+                 max_word_chars: int, unk_cost: int):
+    table = dict(costs)
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("toks", T.ArrayType(T.StringType(), False), False),
+        T.StructField("cost", T.LongType(), False),
+    ]))
+    def tok(norm_text: pd.Series) -> pd.DataFrame:
+        cache: dict[str, tuple[list[str], int]] = {}
+
+        def one_word(word: str) -> tuple[list[str], int]:
+            got = cache.get(word)
+            if got is None:
+                if len(word) > max_word_chars:
+                    got = ([word], unk_cost * len(word))
+                else:
+                    got = viterbi_segment(
+                        word, table,
+                        max_piece_len=max_piece_len, unk_cost=unk_cost,
+                    )
+                cache[word] = got
+            return got
+
+        toks_out, cost_out = [], []
+        for text in norm_text:
+            pieces: list[str] = []
+            total = 0
+            if text:
+                for word in text.split(" "):
+                    if not word:
+                        continue
+                    p, c = one_word(word)
+                    pieces.extend(p)
+                    total += c
+            toks_out.append(pieces)
+            cost_out.append(total)
+        return pd.DataFrame({
+            "toks": pd.Series(toks_out, dtype=object),
+            "cost": pd.Series(cost_out, dtype="int64"),
+        })
+
+    return tok
+
+
+def tokenize_unigram(
+    df: DataFrame,
+    *,
+    costs: Mapping[str, int] = UNIGRAM_FIXTURE_COSTS,
+    text_col: str = "text",
+    tokens_col: str = "unigram_tokens",
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    max_word_chars: int = UNIGRAM_MAX_WORD_CHARS,
+    unk_cost: int = UNIGRAM_UNK_COST,
+) -> DataFrame:
+    """Add ``tokens_col`` (array<string>, Viterbi pieces in order),
+    ``n_unigram_tokens`` (long) and ``unigram_cost_micro`` (long, the
+    exact integer Viterbi objective — a real -log10 corpus likelihood in
+    micro units, usable directly as a CCNet-style quality signal next to
+    lm_ppl). Normalization runs JVM-side (shared textstats norm); only
+    the per-word DP is Python (Arrow-batched, per-batch word cache —
+    zipfian text makes the hit rate high). Map-only: zero shuffles,
+    embarrassingly parallel at 100 TB; the cost table rides in the
+    closure (a real 32k-piece table is ~400 KB, same order as the
+    WordPiece vocab)."""
+    staged = df.withColumn(
+        "_ug",
+        _unigram_udf(
+            costs, max_piece_len=max_piece_len,
+            max_word_chars=max_word_chars, unk_cost=unk_cost,
+        )(_norm(text_col)),
+    )
+    return (
+        staged.withColumn(tokens_col, F.col("_ug.toks"))
+        .withColumn("n_unigram_tokens", F.size(tokens_col).cast("long"))
+        .withColumn("unigram_cost_micro", F.col("_ug.cost"))
+        .drop("_ug")
     )

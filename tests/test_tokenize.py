@@ -260,3 +260,150 @@ def test_tokenize_bpe_spark(spark):
     assert got[4] == (ref("bananas xyzzy"), len(ref("bananas xyzzy")))
     # the fixture table actually merges: 'banana' is one token
     assert "banana" in got[1][0]
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM (Kudo 2018) — trainer, Viterbi encoder, Spark operator
+# ---------------------------------------------------------------------------
+
+
+def _brute_best(word, costs, max_piece_len, unk_cost):
+    """Exhaustive min over ALL segmentations of the (cost, n, path)
+    tuple — the spec viterbi_segment must match."""
+    from ocr_obsidian_spark.operators.tokenize import UNIGRAM_SEP
+
+    best = None
+
+    def rec(pos, cost, n, path):
+        nonlocal best
+        if pos == len(word):
+            t = (cost, n, path)
+            if best is None or t < best:
+                best = t
+            return
+        for end in range(pos + 1, min(pos + max_piece_len, len(word)) + 1):
+            piece = word[pos:end]
+            c = costs.get(piece)
+            if c is None:
+                if end - pos != 1:
+                    continue
+                c = unk_cost
+            rec(end, cost + c, n + 1, path + UNIGRAM_SEP + piece)
+
+    rec(0, 0, 0, "")
+    return best
+
+
+def test_viterbi_matches_exhaustive_enumeration():
+    from ocr_obsidian_spark.operators.tokenize import (
+        UNIGRAM_FIXTURE_COSTS,
+        UNIGRAM_MAX_PIECE_LEN,
+        UNIGRAM_SEP,
+        UNIGRAM_UNK_COST,
+        viterbi_segment,
+    )
+
+    words = [
+        "a", "the", "banana", "tokenizer", "trained", "deduplicated",
+        "qqq", "ab", "aaaa", "(tokens)", "x9z.", "merges", "corpus",
+    ]
+    for w in words:
+        pieces, cost = viterbi_segment(w, UNIGRAM_FIXTURE_COSTS)
+        bc, bn, bpath = _brute_best(
+            w, UNIGRAM_FIXTURE_COSTS, UNIGRAM_MAX_PIECE_LEN, UNIGRAM_UNK_COST
+        )
+        assert cost == bc and pieces == bpath.split(UNIGRAM_SEP)[1:], w
+        # reconstruction invariant: pieces concatenate back to the word
+        assert "".join(pieces) == w
+
+
+def test_viterbi_cost_is_sum_of_piece_costs():
+    from ocr_obsidian_spark.operators.tokenize import (
+        UNIGRAM_FIXTURE_COSTS,
+        UNIGRAM_UNK_COST,
+        viterbi_segment,
+    )
+
+    pieces, cost = viterbi_segment("bananaq", UNIGRAM_FIXTURE_COSTS)
+    assert cost == sum(
+        UNIGRAM_FIXTURE_COSTS.get(p, UNIGRAM_UNK_COST) for p in pieces
+    )
+
+
+def test_unigram_trainer_deterministic_and_covering():
+    from collections import Counter
+
+    from ocr_obsidian_spark.operators.tokenize import (
+        UNIGRAM_SEED_CORPUS,
+        train_unigram,
+    )
+
+    freqs = Counter(UNIGRAM_SEED_CORPUS.split())
+    a = train_unigram(freqs)
+    b = train_unigram(freqs)
+    assert a == b and list(a) == list(b)  # values AND order
+    # every character of the corpus survives pruning (full coverage)
+    chars = {c for w in freqs for c in w}
+    assert chars <= set(a)
+    assert all(isinstance(c, int) and c > 0 for c in a.values())
+
+
+def test_unigram_trainer_em_compresses():
+    """After hard-EM, frequent whole words segment as ONE piece."""
+    from ocr_obsidian_spark.operators.tokenize import (
+        UNIGRAM_FIXTURE_COSTS,
+        viterbi_segment,
+    )
+
+    for w in ["the", "data", "banana", "pages", "corpus"]:
+        assert viterbi_segment(w, UNIGRAM_FIXTURE_COSTS)[0] == [w]
+
+
+def test_tokenize_unigram_spark(spark):
+    from ocr_obsidian_spark.operators.tokenize import (
+        UNIGRAM_FIXTURE_COSTS,
+        UNIGRAM_MAX_WORD_CHARS,
+        UNIGRAM_UNK_COST,
+        tokenize_unigram,
+        viterbi_segment,
+    )
+
+    long_word = "ab" * 15  # 30 chars > the 24-char unroll cap
+    rows = [
+        (1, "The banana  DATA"),
+        (2, "résumé"),
+        (3, long_word),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            list(r["unigram_tokens"]),
+            r["n_unigram_tokens"],
+            r["unigram_cost_micro"],
+        )
+        for r in tokenize_unigram(df).collect()
+    }
+    exp_toks, exp_cost = [], 0
+    for w in ["the", "banana", "data"]:
+        p, c = viterbi_segment(w, UNIGRAM_FIXTURE_COSTS)
+        exp_toks += p
+        exp_cost += c
+    assert got[1] == (exp_toks, len(exp_toks), exp_cost)
+    # é is out-of-vocab -> per-char UNK cost, word still segments
+    p2, c2 = viterbi_segment("résumé", UNIGRAM_FIXTURE_COSTS)
+    assert got[2] == (p2, len(p2), c2)
+    assert "".join(p2) == "résumé" and c2 >= 2 * UNIGRAM_UNK_COST
+    # whole-word fallback past the unroll cap
+    assert got[3] == ([long_word], 1, UNIGRAM_UNK_COST * len(long_word))
+    assert len(long_word) > UNIGRAM_MAX_WORD_CHARS
+    assert got[4] == ([], 0, 0) and got[5] == ([], 0, 0)
+
+
+def test_tokenize_unigram_plan_is_map_only(spark):
+    from ocr_obsidian_spark.operators.tokenize import tokenize_unigram
+
+    df = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
+    plan = tokenize_unigram(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
