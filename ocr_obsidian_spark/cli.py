@@ -315,12 +315,17 @@ def run_score(args) -> int:
 
 
 def run_tokenize(args) -> int:
-    """documents table → real tokenizer tokens (greedy WordPiece or
-    character-level BPE — the checked-in fixture vocab/merge tables;
-    deployments pass their own trained tables through the YAML config),
-    optionally packed into fixed-width GPT-style training sequences
-    (operators/tokenize.py + webprep.pack_token_sequences)."""
-    from .operators.tokenize import tokenize_bpe, tokenize_wordpiece
+    """documents table → real tokenizer tokens (greedy WordPiece,
+    character-level BPE, or unigram-LM Viterbi — the checked-in fixture
+    vocab/merge/cost tables; deployments pass their own trained tables
+    through the YAML config), optionally packed into fixed-width
+    GPT-style training sequences (operators/tokenize.py +
+    webprep.pack_token_sequences)."""
+    from .operators.tokenize import (
+        tokenize_bpe,
+        tokenize_unigram,
+        tokenize_wordpiece,
+    )
     from .sources.io import write_table
 
     spark = _session(args)
@@ -330,6 +335,9 @@ def run_tokenize(args) -> int:
     if args.tokenizer == "bpe":
         toks = tokenize_bpe(docs, text_col=args.text_col)
         tokens_col = "bpe_tokens"
+    elif args.tokenizer == "unigram":
+        toks = tokenize_unigram(docs, text_col=args.text_col)
+        tokens_col = "unigram_tokens"
     else:
         toks = tokenize_wordpiece(
             docs, text_col=args.text_col, unk_mode=args.unk_mode
@@ -544,7 +552,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--text-col", default="text")
     p.add_argument("--key-col", default="url",
                    help="packing group key (pure function of this column)")
-    p.add_argument("--tokenizer", choices=["wordpiece", "bpe"],
+    p.add_argument("--tokenizer", choices=["wordpiece", "bpe", "unigram"],
                    default="wordpiece")
     p.add_argument("--unk-mode", choices=["char", "word"], default="char",
                    help="WordPiece [UNK] policy (char fallback / whole word)")

@@ -229,3 +229,24 @@ def test_tokenize_subcommand(tmp_path, spark):
     assert main([
         "tokenize", "--docs", src, "--out", out3, "--pack-seq-len", "8",
     ]) == 3
+
+
+def test_tokenize_subcommand_unigram(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(12)
+    src = str(tmp_path / "ug_docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "ug_out")
+    assert main([
+        "tokenize", "--docs", src, "--out", out, "--tokenizer", "unigram",
+    ]) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 12
+    assert {"unigram_tokens", "n_unigram_tokens", "unigram_cost_micro"} <= set(
+        got.columns
+    )
+    # the Viterbi objective is a positive integer for any non-empty doc
+    assert got.filter(
+        (F.length(F.trim("text")) > 0) & (F.col("unigram_cost_micro") <= 0)
+    ).count() == 0
