@@ -846,6 +846,20 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return decontaminate(d, bench).select("doc_id")
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """The driver registry row for decontamination runs the BLOOM scale
+    path (distributed bitset build -> map-side probe -> exact confirm
+    join) against the UNCHANGED exact-semantics SQL oracle — a driver-
+    visible proof that the Bloom pre-filter changes the plan shape, not
+    the result. bench.py keeps timing q_decontaminate (the exact
+    broadcast path) so its floor row stays definition-comparable."""
+    from ocr_obsidian_spark.operators.webprep import decontaminate
+
+    d = _t(spark, sf, "documents", spread=True)
+    bench = d.filter(F.col("doc_id") < 10)
+    return decontaminate(d, bench, method="bloom").select("doc_id")
+
+
 def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     """PII redaction over text with deterministically injected emails /
     phones / IPs (the raw corpus has none); emails scrub before phones so
@@ -1538,7 +1552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "domain_cap": q_domain_cap,
         "hash_sample": q_hash_sample,
-        "decontaminate": q_decontaminate,
+        # round 5 (late): the driver row runs the Bloom scale path; its
+        # exact-SQL oracle pins bloom == exact every round
+        "decontaminate": q_decontaminate_bloom,
         "pii_scrub": q_pii_scrub,
         "unicode_nfc": q_unicode_nfc,
         "repetition_stats": q_repetition_stats,

@@ -528,6 +528,76 @@ def benchmark_shingles(
     )
 
 
+def _bloom_positions(m: int, n_hashes: int) -> F.Column:
+    """The n_hashes Bloom bit positions of the ``shingle`` column —
+    xxhash64(shingle, i) mod m, i = 0..n-1 (xxhash64's fixed seed plus a
+    distinct literal second column per hash). The SAME expression feeds
+    the build aggregation and the probe, so build/probe consistency is
+    structural, not a convention."""
+    return F.array(*[
+        F.pmod(F.xxhash64(F.col("shingle"), F.lit(i)), F.lit(m))
+        for i in range(n_hashes)
+    ])
+
+
+def build_shingle_bloom(
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 8,
+    bits_log2: int = 23,
+    n_hashes: int = 6,
+):
+    """Bloom filter over the benchmark shingle set as a packed int64
+    numpy array (m = 2**bits_log2 bits). The build is DISTRIBUTED: each
+    shingle's bit positions are computed JVM-side, OR-folded per 64-bit
+    word with a groupBy bit_or (partial agg map-side), and only the set
+    words — at most m/64 longs (1 MB at the default 2^23, independent of
+    eval-set size) — ever reach the driver. That is the 100 TB point:
+    a 10-GB eval shingle set cannot broadcast, but its 2^30-bit Bloom
+    image (128 MB) can."""
+    import numpy as np
+
+    m = 1 << bits_log2
+    pos = benchmark_shingles(benchmark, text_col=text_col, k=k).select(
+        F.explode(_bloom_positions(m, n_hashes)).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.shiftright("pos", 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")
+            .alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    bits = np.zeros(m >> 6, dtype=np.int64)
+    for r in words:
+        bits[r["w"]] = r["word"]
+    return bits
+
+
+def _bloom_hit_udf(bits):
+    """Arrow-batched membership test: all n_hashes bits set. The packed
+    array rides in the closure (vectorized-UDF exception class: per-row
+    random bit indexing has no builtin-expression form without planting
+    a multi-MB array literal in the plan)."""
+    import numpy as np
+
+    bits_u = bits.view(np.uint64)
+
+    @F.pandas_udf(T.BooleanType())
+    def hit(pos_arr: pd.Series) -> pd.Series:
+        if len(pos_arr) == 0:
+            return pd.Series([], dtype=bool)
+        mat = np.vstack(pos_arr.to_numpy())  # (rows, n_hashes) int64
+        got = (bits_u[mat >> 6] >> (mat & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(got.all(axis=1))
+
+    return hit
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -535,24 +605,60 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    method: str = "exact",
+    bits_log2: int = 23,
+    n_hashes: int = 6,
 ) -> DataFrame:
     """Drop documents sharing ANY word k-shingle with the benchmark set —
     eval-set decontamination, the standard guard against test-set leakage
-    into training data.
+    into training data. k=8 is the usual contamination n-gram size (long
+    enough that natural collisions are rare, short enough to catch
+    partial copies).
 
-    The corpus side explodes to (id, shingle) and semi-joins the broadcast
-    benchmark shingle set; the corpus itself never shuffles. k=8 is the
-    usual contamination n-gram size (long enough that natural collisions
-    are rare, short enough to catch partial copies)."""
+    ``method="exact"`` (default): the corpus side explodes to
+    (id, shingle) and semi-joins the broadcast benchmark shingle set; the
+    corpus itself never shuffles. Right whenever the eval shingle set
+    fits a broadcast.
+
+    ``method="bloom"``: identical RESULT (exactly — no false negatives
+    by Bloom construction, false positives removed by an exact confirm
+    join; pinned by an equivalence test and by the driver oracle, whose
+    SQL twin is the exact semantics), different scale shape: a packed
+    2^bits_log2-bit Bloom image of the benchmark shingles is broadcast
+    in a UDF closure instead of the shingle strings, the exploded corpus
+    is pre-filtered map-side (JVM-computed positions, one vectorized
+    bit-test UDF), and only surviving CANDIDATE shingles — expected
+    (true hits + fp_rate * corpus shingles) — reach the exact confirm
+    semi-join, left un-hinted so AQE picks its strategy from the
+    post-filter sizes. Use when the eval set is broadcast-hostile:
+    10^8 shingles need ~2^30 bits (128 MB, ~0.5% fp at 6 hashes) vs
+    ~10 GB of strings."""
     from .dedup import word_shingles
 
-    bench = F.broadcast(benchmark_shingles(benchmark, text_col=text_col, k=k))
+    bench = benchmark_shingles(benchmark, text_col=text_col, k=k)
     doc_shingles = docs.select(
         F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
     )
-    contaminated = (
-        doc_shingles.join(bench, "shingle", "left_semi").select(id_col).distinct()
-    )
+    if method == "bloom":
+        bits = build_shingle_bloom(
+            benchmark, text_col=text_col, k=k,
+            bits_log2=bits_log2, n_hashes=n_hashes,
+        )
+        m = len(bits) * 64
+        candidates = doc_shingles.where(
+            _bloom_hit_udf(bits)(_bloom_positions(m, n_hashes))
+        )
+        contaminated = (
+            candidates.join(bench, "shingle", "left_semi")
+            .select(id_col).distinct()
+        )
+    elif method == "exact":
+        contaminated = (
+            doc_shingles.join(F.broadcast(bench), "shingle", "left_semi")
+            .select(id_col).distinct()
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
     return docs.join(contaminated, id_col, "left_anti")
 
 

@@ -83,6 +83,71 @@ def test_decontaminate_drops_shingle_overlap(spark):
     assert kept == {2, 3, 4}
 
 
+def test_decontaminate_bloom_equals_exact(spark):
+    """The Bloom scale path returns EXACTLY the exact-method rows (no
+    false negatives by construction; false positives die in the confirm
+    join), on real corpus text with planted contamination."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    exact = {r["doc_id"] for r in decontaminate(docs, bench).collect()}
+    bloom = {
+        r["doc_id"]
+        for r in decontaminate(docs, bench, method="bloom").collect()
+    }
+    assert bloom == exact
+    # a DELIBERATELY saturated filter (64 bits for hundreds of shingles
+    # -> near-100% fp rate) still yields the exact result: every fp is
+    # confirmed away
+    tiny = {
+        r["doc_id"]
+        for r in decontaminate(
+            docs, bench, method="bloom", bits_log2=6, n_hashes=2
+        ).collect()
+    }
+    assert tiny == exact
+
+
+def test_decontaminate_bloom_empty_benchmark_keeps_all(spark):
+    docs = spark.createDataFrame(
+        [(1, "some words here repeated words here words again for shingles")],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") < 0)
+    assert decontaminate(docs, bench, method="bloom").count() == 1
+
+
+def test_bloom_build_sets_expected_bits(spark):
+    """The distributed build ORs exactly the probe positions: rebuild
+    the expected bitset driver-side from the SAME Spark hash expression
+    and compare arrays."""
+    import numpy as np
+
+    from ocr_obsidian_spark.operators.webprep import (
+        _bloom_positions,
+        benchmark_shingles,
+        build_shingle_bloom,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "one two three four five six seven eight nine ten eleven")],
+        "doc_id long, text string",
+    )
+    bits = build_shingle_bloom(bench, bits_log2=12, n_hashes=4)
+    m = 1 << 12
+    pos = benchmark_shingles(bench).select(
+        F.explode(_bloom_positions(m, 4)).alias("pos")
+    )
+    expected = np.zeros(m >> 6, dtype=np.uint64)
+    for r in pos.collect():
+        expected[r["pos"] >> 6] |= np.uint64(1) << np.uint64(r["pos"] & 63)
+    assert np.array_equal(bits.view(np.uint64), expected)
+    assert 0 < int(bits.view(np.uint64).sum() and 1)
+
+
 def test_scrub_pii(spark):
     rows = [
         (0, "mail me at First.Last+tag@sub.example.co.uk please"),
