@@ -5,19 +5,24 @@ ISO 10918-1): marker segments, canonical Huffman tables, DC prediction +
 run-length AC coding, zigzag scan, uniform dequantization, 8x8 inverse
 DCT-II, JFIF YCbCr→RGB. This module implements exactly that profile:
 
-  * decode: 8-bit baseline sequential (SOF0), 1 or 3 components, any
-    integer sampling factors whose ratio to the max divides evenly
-    (covers 4:4:4, 4:2:2, 4:2:0), restart markers, byte stuffing.
-    Progressive (SOF2) and arithmetic coding raise NotImplementedError —
-    an honest boundary, like the PNG module's non-8-bit profiles.
-  * encode: the test/fixture counterpart (same role as ``encode_png``):
-    baseline JPEG with a uniform quantization value (quant=1 is
-    near-lossless — only DCT float rounding), optional 2x2 chroma
-    subsampling and restart intervals, and "flat" canonical Huffman
-    tables (all 256 AC symbols at 8-9 bits; valid per the spec since the
-    all-ones code is never assigned). Poor compression, trivially correct
-    — the decoder still exercises real canonical-Huffman construction,
-    real bit unstuffing and real dequant/IDCT on its output.
+  * decode: 8-bit sequential (SOF0/SOF1) AND progressive (SOF2 — T.81
+    annex G: spectral selection, successive approximation, EOB runs,
+    per-scan table snapshots), 1 or 3 components, any integer sampling
+    factors whose ratio to the max divides evenly (covers 4:4:4, 4:2:2,
+    4:2:0), restart markers, byte stuffing. Hierarchical/lossless SOFs
+    and arithmetic coding raise NotImplementedError — an honest
+    boundary, like the PNG module's non-8-bit profiles.
+  * encode: the test/fixture counterparts (same role as ``encode_png``):
+    baseline JPEG — and ``encode_jpeg_progressive``, carrying the SAME
+    quantized coefficients across a multi-scan script — with a uniform
+    quantization value (quant=1 is near-lossless — only DCT float
+    rounding), optional 2x2 chroma subsampling and restart intervals,
+    and "flat" canonical Huffman tables (all 256 AC symbols at 8-9 bits;
+    valid per the spec since the all-ones code is never assigned). Poor
+    compression, trivially correct — the decoder still exercises real
+    canonical-Huffman construction, real bit unstuffing and real
+    dequant/IDCT on its output, and progressive-vs-baseline decode
+    equality is the forward oracle.
 
 No reference-repo analog: the reference treats media as an opaque
 external boundary; this exists so the multimodal plumbing's "decode"
@@ -150,12 +155,40 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError(f"malformed JPEG: {type(exc).__name__}: {exc}") from exc
 
 
+def _entropy_segments(data: bytes, p: int) -> tuple[list[bytes], int]:
+    """Entropy-coded bytes starting at ``p``: unstuff 0xFF00, split on
+    RSTn markers, stop at any other marker. Returns (segments,
+    next_marker_pos)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    while p < len(data):
+        b = data[p]
+        if b == 0xFF and p + 1 < len(data):
+            m = data[p + 1]
+            if m == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= m <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+    return segments, p
+
+
 def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (w, h, [(cid, hs, vs, tq)])
     restart_interval = 0
     scan = None
+    progressive = False
+    scans: list = []  # (sel, Ss, Se, Ah, Al, segments, htables@scan, DRI)
 
     i = 2
     data = payload
@@ -195,7 +228,7 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 symbols = list(seg[p + 17 : p + 17 + nsym])
                 htables[(tclass, tid)], _ = _build_huffman(counts, symbols)
                 p += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 seq, SOF2 progressive
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} != 8")
@@ -204,10 +237,12 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 15, tq))
             frame = (int(w), int(h), comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}): only "
-                "baseline sequential Huffman (SOF0/SOF1) is supported"
+                f"unsupported JPEG (SOF marker 0xFF{marker:02X}): only "
+                "sequential (SOF0/SOF1) and progressive (SOF2) Huffman "
+                "coding is supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -217,44 +252,38 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel[cid] = (tabs >> 4, tabs & 15)
-            # entropy-coded data: unstuff + split on restart markers
-            p = i + seglen
-            segments: list[bytes] = []
-            cur = bytearray()
-            while p < len(data):
-                b = data[p]
-                if b == 0xFF and p + 1 < len(data):
-                    m = data[p + 1]
-                    if m == 0x00:
-                        cur.append(0xFF)
-                        p += 2
-                        continue
-                    if 0xD0 <= m <= 0xD7:
-                        segments.append(bytes(cur))
-                        cur = bytearray()
-                        p += 2
-                        continue
-                    break
-                cur.append(b)
-                p += 1
-            segments.append(bytes(cur))
+            segments, p = _entropy_segments(data, i + seglen)
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                aa = seg[3 + 2 * ns]
+                # tables may be redefined between scans: snapshot them
+                scans.append((sel, ss, se, aa >> 4, aa & 15, segments,
+                              dict(htables), restart_interval))
+                i = p
+                continue
             scan = (sel, segments)
             break
         i += seglen
 
-    if frame is None or scan is None:
+    if frame is None or (scan is None and not scans):
         raise ValueError("truncated JPEG: missing SOF or SOS")
     w, h, comps = frame
     if w == 0 or h == 0:
         raise ValueError("empty JPEG")
     if len(comps) not in (1, 3):
         raise NotImplementedError(f"{len(comps)}-component JPEG")
-    sel, segments = scan
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
+    if progressive:
+        planes = _progressive_planes(
+            w, h, comps, qtables, scans, mcux, mcuy, hmax, vmax
+        )
+        return _finish_planes(planes, comps, w, h, hmax, vmax)
+
+    sel, segments = scan
     planes = {
         cid: np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
         for cid, hs, vs, _ in comps
@@ -308,6 +337,11 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                         x0 = (mx * hs + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
 
+    return _finish_planes(planes, comps, w, h, hmax, vmax)
+
+
+def _finish_planes(planes, comps, w: int, h: int, hmax: int, vmax: int) -> np.ndarray:
+    """Shared decode tail: level shift, chroma upsample, crop, YCbCr→RGB."""
     out_planes = []
     for cid, hs, vs, _ in comps:
         p = planes[cid] + 128.0
@@ -329,6 +363,187 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _refine_ac_block(reader: _BitReader, ac_tab, blk, ss: int, se: int,
+                     al: int, eobrun: int) -> int:
+    """One block of an AC successive-approximation refinement scan
+    (T.81 G.1.2.3 decode side). ``blk`` holds the coefficients known so
+    far (zigzag order); a position is "history-nonzero" iff its stored
+    value is nonzero, and every history-nonzero position visited costs
+    one correction bit. Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(reader, ac_tab)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history positions below
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement size != 1")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_planes(w, h, comps, qtables, scans, mcux, mcuy, hmax, vmax):
+    """Accumulate coefficients across progressive scans (T.81 G.2), then
+    dequantize + IDCT once. Scan kinds: DC first/refine (interleaved or
+    single-component), AC first/refine (single-component by spec, over
+    the component's own ceil(size/8) block grid — MCU-padding blocks
+    stay DC-only, which is invisible after the crop)."""
+    samp = {cid: (hs, vs) for cid, hs, vs, _ in comps}
+    tqmap = {cid: tq for cid, _, _, tq in comps}
+    bdims = {}
+    for cid, hs, vs, _ in comps:
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        bdims[cid] = (-(-ch // 8), -(-cw // 8))
+    coefs = {
+        cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+        for cid, hs, vs, _ in comps
+    }
+    for sel, ss, se, ah, al, segments, htabs, ri in scans:
+        order = list(sel)
+        state = {
+            "seg": 0, "reader": _BitReader(segments[0]),
+            "count": 0, "eobrun": 0,
+            "pred": {cid: 0 for cid in order},
+        }
+
+        def _maybe_restart(st=state, segs=segments, ival=ri, ordr=order):
+            if ival and st["count"] == ival:
+                st["seg"] += 1
+                if st["seg"] >= len(segs):
+                    raise ValueError("JPEG: missing restart segment")
+                st["reader"] = _BitReader(segs[st["seg"]])
+                st["count"] = 0
+                st["eobrun"] = 0
+                st["pred"] = {cid: 0 for cid in ordr}
+            st["count"] += 1
+
+        if ss == 0:  # DC scan
+            if se != 0:
+                raise ValueError("JPEG progressive DC scan with Se != 0")
+            p1 = 1 << al
+
+            def _dc_block(cid, blk, st=state, first=(ah == 0), al=al, p1=p1,
+                          htabs=htabs, sel=sel):
+                if first:
+                    dc_tab = htabs.get((0, sel[cid][0]))
+                    if dc_tab is None:
+                        raise ValueError("JPEG: missing Huffman table")
+                    t = _decode_symbol(st["reader"], dc_tab)
+                    st["pred"][cid] += _extend(st["reader"].read_bits(t), t)
+                    blk[0] = st["pred"][cid] << al
+                elif st["reader"].read_bit():
+                    blk[0] |= p1
+
+            if len(order) > 1:  # interleaved over the MCU grid
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        _maybe_restart()
+                        for cid in order:
+                            hs, vs = samp[cid]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    _dc_block(
+                                        cid,
+                                        coefs[cid][my * vs + by, mx * hs + bx],
+                                    )
+            else:
+                cid = order[0]
+                bh, bw = bdims[cid]
+                for idx in range(bh * bw):
+                    _maybe_restart()
+                    by, bx = divmod(idx, bw)
+                    _dc_block(cid, coefs[cid][by, bx])
+        else:  # AC scan
+            if len(order) != 1:
+                raise ValueError(
+                    "JPEG progressive AC scan must be single-component"
+                )
+            cid = order[0]
+            ac_tab = htabs.get((1, sel[cid][1]))
+            if ac_tab is None:
+                raise ValueError("JPEG: missing Huffman table")
+            bh, bw = bdims[cid]
+            for idx in range(bh * bw):
+                _maybe_restart()
+                by, bx = divmod(idx, bw)
+                blk = coefs[cid][by, bx]
+                reader = state["reader"]
+                if ah == 0:  # first scan: values arrive << Al, EOB runs
+                    if state["eobrun"]:
+                        state["eobrun"] -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _decode_symbol(reader, ac_tab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                state["eobrun"] = eobrun
+                                break
+                            k += 16
+                        else:
+                            k += r
+                            if k > se:
+                                raise ValueError("JPEG AC run overflow")
+                            blk[k] = _extend(reader.read_bits(s), s) << al
+                            k += 1
+                else:
+                    state["eobrun"] = _refine_ac_block(
+                        reader, ac_tab, blk, ss, se, al, state["eobrun"]
+                    )
+
+    planes = {}
+    for cid, hs, vs, _tq in comps:
+        q = qtables.get(tqmap[cid])
+        if q is None:
+            raise ValueError("JPEG: missing quantization table")
+        arr = coefs[cid]
+        nby, nbx = arr.shape[0], arr.shape[1]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                nat = np.zeros(64, dtype=np.float64)
+                nat[ZIGZAG] = arr[by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _M.T @ (nat * q).reshape(8, 8) @ _M
+                )
+        planes[cid] = plane
+    return planes
 
 
 # --------------------------------------------------------------------------
@@ -413,14 +628,11 @@ def _pad_to(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def encode_jpeg(
-    img: np.ndarray, *, quant: int = 1, subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline JPEG fixture encoder for uint8 (H, W), (H, W, 1) gray or
-    (H, W, 3) RGB arrays. ``quant=1`` is near-lossless (DCT rounding
-    only); ``subsample=True`` averages chroma 2x2 (4:2:0);
-    ``restart_interval`` > 0 emits DRI + RSTn markers."""
+def _fixture_prep(img: np.ndarray, quant: int, subsample: bool):
+    """Shared front half of both fixture encoders: color transform,
+    optional 4:2:0 subsampling, padding, forward DCT + quantization.
+    Returns (comps, blocks, h, w, mcux, mcuy) where blocks[cid] is the
+    (mcu-grid) array of zigzag-order quantized coefficient vectors."""
     arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -473,9 +685,23 @@ def encode_jpeg(
                 # scan[k] = natural[ZIGZAG[k]]
                 coefs[by, bx] = np.round(fc).astype(np.int64).take(ZIGZAG)
         blocks[cid] = coefs
+    return comps, blocks, h, w, mcux, mcuy
 
-    def chunk(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+def _chunk(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    img: np.ndarray, *, quant: int = 1, subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG fixture encoder for uint8 (H, W), (H, W, 1) gray or
+    (H, W, 3) RGB arrays. ``quant=1`` is near-lossless (DCT rounding
+    only); ``subsample=True`` averages chroma 2x2 (4:2:0);
+    ``restart_interval`` > 0 emits DRI + RSTn markers."""
+    comps, blocks, h, w, mcux, mcuy = _fixture_prep(img, quant, subsample)
+    chunk = _chunk
 
     out = bytearray(b"\xff\xd8")
     zz_q = np.empty(64, dtype=np.uint8)
@@ -518,5 +744,259 @@ def encode_jpeg(
                         )
     writer.flush()
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive fixture encoder (T.81 annex G encode side)
+# --------------------------------------------------------------------------
+
+
+class _EobState:
+    """Pending EOB run + the correction bits buffered behind it (encode
+    side of T.81 G.1.2.3: bits from blocks inside an EOB run are emitted
+    only after the EOBn symbol that closes the run)."""
+
+    __slots__ = ("eobrun", "be")
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.be: list[int] = []
+
+    def flush(self, wtr: _BitWriter) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            c, ln = _AC_ENC[r << 4]
+            wtr.write(c, ln)
+            if r:
+                wtr.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.be:
+            wtr.write(b, 1)
+        self.be = []
+
+    def bump(self, wtr: _BitWriter, br: list[int]) -> None:
+        self.eobrun += 1
+        self.be.extend(br)
+        if self.eobrun == 0x7FFF:  # EOB14 ceiling
+            self.flush(wtr)
+
+
+def _enc_ac_first(wtr: _BitWriter, blk, ss: int, se: int, al: int,
+                  st: _EobState) -> None:
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        a = abs(v) >> al
+        vals.append(-a if v < 0 else a)
+    last = -1
+    for i in range(len(vals) - 1, -1, -1):
+        if vals[i]:
+            last = i
+            break
+    if last < 0:
+        st.bump(wtr, [])
+        return
+    st.flush(wtr)
+    run = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = _AC_ENC[0xF0]  # ZRL
+            wtr.write(c, ln)
+            run -= 16
+        s = _category(v)
+        c, ln = _AC_ENC[(run << 4) | s]
+        wtr.write(c, ln)
+        wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < se - ss:
+        st.bump(wtr, [])
+
+
+def _enc_ac_refine(wtr: _BitWriter, blk, ss: int, se: int, al: int,
+                   st: _EobState) -> None:
+    """Encode side of the refinement algorithm _refine_ac_block decodes:
+    runs count only never-significant (t==0) positions, already-nonzero
+    positions contribute one buffered correction bit, newly-significant
+    magnitudes are exactly 1 with the sign sent as one raw bit, and
+    trailing content folds into the cross-block EOB run."""
+    absv = []
+    sign = []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        absv.append(abs(v) >> al)
+        sign.append(1 if v >= 0 else 0)
+    eob = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    run = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            st.flush(wtr)
+            c, ln = _AC_ENC[0xF0]
+            wtr.write(c, ln)
+            run -= 16
+            for b in br:
+                wtr.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        st.flush(wtr)
+        c, ln = _AC_ENC[(run << 4) | 1]
+        wtr.write(c, ln)
+        wtr.write(sign[i], 1)
+        for b in br:
+            wtr.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        st.bump(wtr, br)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, *, quant: int = 1, subsample: bool = False,
+    restart_interval: int = 0, scans=None,
+) -> bytes:
+    """Progressive (SOF2) JPEG fixture encoder — the test counterpart of
+    the progressive decode path, same role as ``encode_jpeg``. Carries
+    exactly the same quantized coefficients as the baseline encoder
+    (shared ``_fixture_prep``), split across spectral-selection +
+    successive-approximation scans, so
+    ``decode_jpeg(encode_jpeg_progressive(img, quant=q)) ==
+    decode_jpeg(encode_jpeg(img, quant=q))`` bit-exactly — the forward
+    oracle the tests pin.
+
+    ``scans`` overrides the scan script: a list of
+    (component_indices, Ss, Se, Ah, Al) tuples; refinement scans must
+    step Al by one (Ah == Al+1). The default script exercises every
+    decoder path: interleaved DC first + refine, split spectral bands,
+    and per-component AC refinement."""
+    comps, blocks, h, w, mcux, mcuy = _fixture_prep(img, quant, subsample)
+    ncomp = len(comps)
+    hmax = max(x[1] for x in comps)
+    vmax = max(x[2] for x in comps)
+    bdims = []
+    for cid, hs, vs, _tq, _p in comps:
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        bdims.append((-(-ch // 8), -(-cw // 8)))
+    if scans is None:
+        if ncomp == 1:
+            scans = [
+                ((0,), 0, 0, 0, 1), ((0,), 0, 0, 1, 0),
+                ((0,), 1, 5, 0, 1), ((0,), 6, 63, 0, 1),
+                ((0,), 1, 63, 1, 0),
+            ]
+        else:
+            scans = [
+                ((0, 1, 2), 0, 0, 0, 1), ((0, 1, 2), 0, 0, 1, 0),
+                ((0,), 1, 5, 0, 1), ((0,), 6, 63, 0, 1),
+                ((1,), 1, 63, 0, 1), ((2,), 1, 63, 0, 1),
+                ((0,), 1, 63, 1, 0), ((1,), 1, 63, 1, 0),
+                ((2,), 1, 63, 1, 0),
+            ]
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = np.empty(64, dtype=np.uint8)
+    zz_q[:] = int(quant)
+    out += _chunk(0xDB, bytes([0x00]) + zz_q.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid, hs, vs, _tq, _p in comps:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    out += _chunk(0xC2, sof)
+    out += _chunk(0xC4, bytes([0x00] + _DC_COUNTS) + bytes(_DC_SYMBOLS))
+    out += _chunk(0xC4, bytes([0x10] + _AC_COUNTS) + bytes(_AC_SYMBOLS))
+    if restart_interval:
+        out += _chunk(0xDD, struct.pack(">H", restart_interval))
+
+    rst = 0
+    for comp_idxs, ss, se, ah, al in scans:
+        sos = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            sos += bytes([comps[ci][0], 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _chunk(0xDA, sos)
+
+        wtr = _BitWriter()
+        st = _EobState()
+        pred = {comps[ci][0]: 0 for ci in comp_idxs}
+        count = 0
+
+        def _restart_if_due():
+            nonlocal wtr, st, pred, count, rst, out
+            if restart_interval and count == restart_interval:
+                st.flush(wtr)
+                wtr.flush()
+                out += wtr.out
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                wtr = _BitWriter()
+                st = _EobState()
+                pred = {comps[ci][0]: 0 for ci in comp_idxs}
+                count = 0
+            count += 1
+
+        def _dc_unit(cid, blk):
+            dc = int(blk[0]) >> al
+            if ah == 0:
+                diff = dc - pred[cid]
+                pred[cid] = dc
+                t = _category(diff)
+                c, ln = _DC_ENC[t]
+                wtr.write(c, ln)
+                if t:
+                    wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            else:
+                wtr.write(dc & 1, 1)
+
+        if ss == 0:  # DC scan
+            if len(comp_idxs) > 1:  # interleaved over the MCU grid
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        _restart_if_due()
+                        for ci in comp_idxs:
+                            cid, hs, vs, _tq, _p = comps[ci]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    _dc_unit(
+                                        cid,
+                                        blocks[cid][my * vs + by, mx * hs + bx],
+                                    )
+            else:
+                ci = comp_idxs[0]
+                cid = comps[ci][0]
+                bh, bw = bdims[ci]
+                for idx in range(bh * bw):
+                    _restart_if_due()
+                    by, bx = divmod(idx, bw)
+                    _dc_unit(cid, blocks[cid][by, bx])
+        else:  # AC scan: single component, its own block grid
+            if len(comp_idxs) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            ci = comp_idxs[0]
+            cid = comps[ci][0]
+            bh, bw = bdims[ci]
+            for idx in range(bh * bw):
+                _restart_if_due()
+                by, bx = divmod(idx, bw)
+                blk = blocks[cid][by, bx]
+                if ah == 0:
+                    _enc_ac_first(wtr, blk, ss, se, al, st)
+                else:
+                    _enc_ac_refine(wtr, blk, ss, se, al, st)
+        st.flush(wtr)
+        wtr.flush()
+        out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)

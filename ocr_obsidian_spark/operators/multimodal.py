@@ -196,9 +196,9 @@ def image_codecs() -> list[tuple]:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to a (H, W, C) uint8 array.
 
-    PNG decodes for real via ``decode_png``; baseline sequential JPEG via
-    ``jpegcodec.decode_jpeg``; GIF (first frame) via ``gifcodec.decode_gif``
-    (both round 4); lossless WebP via ``webpcodec.decode_webp`` (round 5).
+    PNG decodes for real via ``decode_png``; sequential AND progressive
+    JPEG via ``jpegcodec.decode_jpeg``; GIF (first frame) via
+    ``gifcodec.decode_gif``; lossless WebP via ``webpcodec.decode_webp``.
     Other formats (lossy-VP8 WebP, AVIF/TIFF, audio, video) require a
     codec library (PIL/opencv/ffmpeg) not installed in this container —
     the pipeline falls back to ``fake_features`` for them (see
@@ -253,8 +253,9 @@ def extract_media_features(
 ) -> DataFrame:
     """(url, payload, meta) → feature rows via an Arrow-batched map stage.
 
-    PNG, baseline-JPEG and GIF payloads decode for real (``decode_png`` /
-    ``decode_jpeg`` / ``decode_gif``) and yield pixel-derived features;
+    PNG, JPEG (sequential + progressive) and GIF payloads decode for real
+    (``decode_png`` / ``decode_jpeg`` / ``decode_gif``) and yield
+    pixel-derived features;
     WAV/PCM audio decodes via ``wavcodec`` into level/duration features;
     anything else (or a malformed/unsupported-profile payload) falls back
     fail-soft to the deterministic content-derived ``fake_features`` — a

@@ -221,8 +221,7 @@ def _decode_image_stream(
     if is_main and br.read_bit():
         raise NotImplementedError(
             "VP8L meta prefix codes (entropy image) not implemented — "
-            "single-group images only (honest boundary, like progressive "
-            "JPEG in jpegcodec)"
+            "single-group images only (honest boundary, like lossy VP8)"
         )
     cache_size = (1 << cache_bits) if cache_bits else 0
     g_code = _read_prefix_code(br, 256 + 24 + cache_size)

@@ -97,15 +97,16 @@ def test_decode_errors():
         decode_jpeg(b[: len(b) // 2] + b"\xff\xd9")
 
 
-def test_progressive_is_an_honest_boundary():
-    # flip SOF0 -> SOF2 in a valid stream: must raise NotImplementedError,
-    # not mis-decode
+def test_mislabeled_progressive_fails_closed():
+    # flip SOF0 -> SOF2 in a valid SEQUENTIAL stream: its Ss=0,Se=63 scan
+    # header is malformed for a progressive frame (a DC scan must have
+    # Se=0), so the decoder must raise a data error, not mis-decode
     img = np.full((8, 8), 99, dtype=np.uint8)
     b = bytearray(encode_jpeg(img))
     idx = bytes(b).find(b"\xff\xc0")
     assert idx > 0
     b[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(b))
 
 
@@ -163,3 +164,97 @@ def test_resize_recovers_dims_from_jpeg_header(spark):
     )
     [r] = resize_images(df, max_side=400).collect()
     assert (r["out_width"], r["out_height"]) == (400, 200)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — forward oracle: same coefficients as baseline, so
+# progressive decode must equal baseline decode bit-exactly
+# ---------------------------------------------------------------------------
+
+
+def _assert_prog_equals_base(img, **kw):
+    from ocr_obsidian_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    enc_kw = {k: v for k, v in kw.items() if k != "scans"}
+    base = decode_jpeg(encode_jpeg(img, **enc_kw))
+    prog = decode_jpeg(encode_jpeg_progressive(img, **kw))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_roundtrip_gray_and_rgb():
+    rng = np.random.default_rng(11)
+    _assert_prog_equals_base(rng.integers(0, 256, (8, 8), dtype=np.uint8))
+    _assert_prog_equals_base(
+        rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    )
+    # quant > 1 sparsifies coefficients -> long EOB runs in AC scans
+    _assert_prog_equals_base(
+        rng.integers(0, 256, (40, 31, 3), dtype=np.uint8), quant=8
+    )
+
+
+def test_progressive_roundtrip_subsampled_odd_dims():
+    # 4:2:0 with dims not multiple of 16: the luma AC grid (ceil(w/8))
+    # is SMALLER than the padded MCU grid — padding blocks stay DC-only
+    # and must be invisible after the crop
+    rng = np.random.default_rng(12)
+    _assert_prog_equals_base(
+        rng.integers(0, 256, (33, 30, 3), dtype=np.uint8),
+        quant=2, subsample=True,
+    )
+
+
+def test_progressive_restart_markers():
+    rng = np.random.default_rng(13)
+    _assert_prog_equals_base(
+        rng.integers(0, 256, (32, 40, 3), dtype=np.uint8),
+        quant=2, restart_interval=3,
+    )
+
+
+def test_progressive_flat_image_eob_runs():
+    # constant image: every AC coefficient is zero -> each AC scan is one
+    # maximal EOB run across all blocks
+    img = np.full((48, 56, 3), 77, dtype=np.uint8)
+    _assert_prog_equals_base(img, quant=1)
+
+
+def test_progressive_custom_script_non_interleaved_dc():
+    # single-component DC scans (the non-interleaved DC decode path) and
+    # a two-step AC successive approximation (Al=2 -> 1 -> 0), which
+    # forces ZRL-inside-refinement and buffered correction bits
+    from ocr_obsidian_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    script = [
+        ((0,), 0, 0, 0, 2), ((1,), 0, 0, 0, 2), ((2,), 0, 0, 0, 2),
+        ((0,), 0, 0, 2, 1), ((1,), 0, 0, 2, 1), ((2,), 0, 0, 2, 1),
+        ((0,), 0, 0, 1, 0), ((1,), 0, 0, 1, 0), ((2,), 0, 0, 1, 0),
+        ((0,), 1, 63, 0, 2), ((1,), 1, 63, 0, 2), ((2,), 1, 63, 0, 2),
+        ((0,), 1, 63, 2, 1), ((1,), 1, 63, 2, 1), ((2,), 1, 63, 2, 1),
+        ((0,), 1, 63, 1, 0), ((1,), 1, 63, 1, 0), ((2,), 1, 63, 1, 0),
+    ]
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img, scans=script))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_dimensions_header():
+    from ocr_obsidian_spark.operators.jpegcodec import (
+        encode_jpeg_progressive,
+        jpeg_dimensions,
+    )
+
+    img = np.zeros((19, 23), dtype=np.uint8)
+    assert jpeg_dimensions(encode_jpeg_progressive(img)) == (23, 19)
+
+
+def test_progressive_truncated_stream_fails_closed():
+    from ocr_obsidian_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    full = encode_jpeg_progressive(img)
+    with pytest.raises(ValueError):
+        decode_jpeg(full[: len(full) * 2 // 3])
