@@ -158,7 +158,10 @@ def train_kn_bigram(
         n1plus_rev[w] += 1
     n1 = sum(1 for c in bi.values() if c == 1)
     n2 = sum(1 for c in bi.values() if c == 2)
-    d = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) else 0.5
+    # n1 == 0 (a corpus with no singleton bigrams) would give D = 0,
+    # hence lam(u) = 0 and log10(0) — fall back to the neutral 0.5
+    # discount instead of crashing on repetitive corpora
+    d = n1 / (n1 + 2 * n2) if n1 else 0.5
 
     events = vocab | {UNK}                 # what can be predicted
     contexts = events | {BOS}              # what can condition

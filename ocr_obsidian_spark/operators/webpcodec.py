@@ -45,16 +45,18 @@ import numpy as np
 _CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 # The 120-entry 2D distance mapping: all (dx, dy) window offsets with
-# dy in [0, 8], dx in [-8, 8], (dy, dx) lexicographically positive,
-# ordered by squared euclidean distance, larger dy first within a tie,
-# positive dx before negative for the same |dx| — this reproduces the
-# literal table in the spec exactly (the first 96 entries verified
-# against the published list; the rule is the spec's own ordering).
+# dy in [0, 7], dx in [-7, 8], (dy, dx) lexicographically positive —
+# exactly the offsets representable by the spec's nibble-pair encoding
+# (each table entry is one byte (dy << 4) | (8 - dx)) — ordered by
+# squared euclidean distance, larger dy first within a tie, positive dx
+# before negative for the same |dx|. This reproduces the literal table
+# in the spec exactly; tests/test_webp.py pins all 120 entries against
+# the published list.
 def _distance_map() -> list[tuple[int, int]]:
     cands = [
         (dx, dy)
-        for dy in range(0, 9)
-        for dx in range(-8, 9)
+        for dy in range(0, 8)
+        for dx in range(-7, 9)
         if dy > 0 or dx > 0
     ]
     cands.sort(
@@ -64,7 +66,8 @@ def _distance_map() -> list[tuple[int, int]]:
             abs(p[0]) * 2 + (1 if p[0] < 0 else 0),
         )
     )
-    return cands[:120]
+    assert len(cands) == 120
+    return cands
 
 
 _DIST_MAP = _distance_map()
@@ -330,7 +333,11 @@ def _apply_inverse_predictor(
                 L = pix[i - 1]
                 T = pix[i - w]
                 TL = pix[i - w - 1]
-                TR = pix[i - w + 1] if x + 1 < w else pix[i - w]
+                # spec addressing: TR is pix[i - w + 1] in the flat
+                # buffer, which for the rightmost column wraps to the
+                # (already reconstructed) leftmost pixel of the CURRENT
+                # row — not the pixel above
+                TR = pix[i - w + 1] if x + 1 < w else pix[y * w]
                 if mode == 0:
                     pred = 0xFF000000
                 elif mode == 1:
@@ -454,11 +461,15 @@ def decode_webp(payload: bytes) -> np.ndarray:
             tw = (packed_w + (1 << size_bits) - 1) >> size_bits
             th = (h + (1 << size_bits) - 1) >> size_bits
             sub = _decode_image_stream(br, tw, th, is_main=False)
+            # capture the image width this transform operates at: a
+            # transform read AFTER color-indexing works on the packed
+            # (width-reduced) image, and its inverse must run at that
+            # width (the tile grid above was already built from it)
             if ttype == 0:
                 modes = [(p >> 8) & 0xFF for p in sub]
-                transforms.append(("predictor", modes, size_bits))
+                transforms.append(("predictor", modes, size_bits, packed_w))
             else:
-                transforms.append(("color", sub, size_bits))
+                transforms.append(("color", sub, size_bits, packed_w))
         elif ttype == 2:
             transforms.append(("subtract_green",))
         elif ttype == 3:
@@ -513,9 +524,9 @@ def decode_webp(payload: bytes) -> np.ndarray:
             pix = unpacked
             packed_w = w
         elif t[0] == "predictor":
-            _apply_inverse_predictor(pix, w, h, t[1], t[2])
+            _apply_inverse_predictor(pix, t[3], h, t[1], t[2])
         elif t[0] == "color":
-            _apply_inverse_color_transform(pix, w, h, t[1], t[2])
+            _apply_inverse_color_transform(pix, t[3], h, t[1], t[2])
         else:
             _apply_inverse_subtract_green(pix)
 

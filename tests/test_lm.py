@@ -48,6 +48,18 @@ def test_seen_bigram_cheaper_than_backoff_path():
     assert seen < backoff
 
 
+def test_no_singleton_bigram_corpus_trains_finite():
+    # every bigram occurs >= 2 times -> n1 == 0; the absolute-discount
+    # estimate would be D = 0 (lambda = 0, log10(0) crash) without the
+    # neutral fallback
+    m = train_kn_bigram(["a b a b a b", "a b a b a b"])
+    n, cost = m.doc_cost("a b a".split())
+    assert n == 3 and math.isfinite(cost)
+    events = m.vocab | {UNK}
+    tot = sum(10 ** (-m.token_cost("a", w) / 1e6) for w in events)
+    assert abs(tot - 1.0) < 1e-3
+
+
 def test_spark_udf_matches_python_scorer_exactly(spark):
     rows = [
         (1, "The quick   brown fox jumps over the lazy dog"),

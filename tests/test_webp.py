@@ -254,6 +254,144 @@ def test_handbuilt_palette_with_bundling():
     assert np.array_equal(out, want)
 
 
+def test_distance_map_matches_published_table():
+    """Pin ALL 120 entries of the 2D distance mapping against the
+    spec's literal table ((dx, dy) per distance code, derived two
+    independent ways: the published list itself and the inverse of the
+    spec's plane_to_code_lut nibble encoding (dy << 4) | (8 - dx) —
+    both agree). Codes 97-120 once regressed to spec-unrepresentable
+    offsets like (0, 8), so the full table is pinned, not sampled."""
+    from ocr_obsidian_spark.operators.webpcodec import _DIST_MAP
+
+    WANT = [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+        (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+        (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+        (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+        (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+        (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+        (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+        (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+        (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+        (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+        (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+        (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+        (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+    ]
+    assert _DIST_MAP == WANT
+    # every entry fits the spec's one-byte nibble encoding
+    assert all(0 <= dy <= 7 and -7 <= dx <= 8 for dx, dy in _DIST_MAP)
+
+
+def test_handbuilt_predictor_tr_rightmost_column():
+    """Predictor mode 3 (top-right): per the spec's flat-buffer
+    addressing, TR for a rightmost-column pixel is pix[i - w + 1] — the
+    already-decoded LEFTMOST pixel of the CURRENT row, not the pixel
+    above. 3x2, one tile, green residual 1 everywhere."""
+    w, h = 3, 2
+    bw = _BitWriter()
+    header(bw, w, h)
+    bw.write(1, 1)  # transform present
+    bw.write(0, 2)  # PREDICTOR
+    bw.write(2 - 2, 3)  # size_bits = 2 -> one 4x4 tile
+    bw.write(0, 1)  # tile sub-image: no cache
+    single_code(bw, 3)  # G = mode 3 (TR)
+    single_code(bw, 0)
+    single_code(bw, 0)
+    single_code(bw, 0)
+    single_code(bw, 0)
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    single_code(bw, 1)  # G residual 1
+    single_code(bw, 0)  # R
+    single_code(bw, 0)  # B
+    single_code(bw, 0)  # A residual 0
+    single_code(bw, 0)  # D
+    out = decode_webp(wrap(bw.bytes()))
+    # row 0: (0,0) black+1, then L-edge rule -> G = 1,2,3
+    # row 1: (0,1) T-edge -> 2; (1,1) TR=G[0][2]=3 -> 4;
+    #        (2,1) rightmost: TR = leftmost of row 1 = 2 -> 3
+    want_g = np.array([[1, 2, 3], [2, 4, 3]], dtype=np.uint8)
+    assert np.array_equal(out[:, :, 1], want_g)
+    assert np.array_equal(out[:, :, 0], np.zeros((2, 3), dtype=np.uint8))
+
+
+def test_handbuilt_palette_then_predictor_transform_order():
+    """Bitstream order [color-indexing, predictor]: the predictor was
+    read AFTER the palette so it operates on the PACKED image (width 1
+    here) and its inverse must run at that captured width — running it
+    at the full width used to overrun the packed pixel buffer. Mode 2
+    is irrelevant (every packed pixel is in column 0, edge rules
+    apply): row 0 gets black+res, row 1 gets T+res."""
+    w, h = 8, 2
+    idx0 = [1, 0, 1, 0, 1, 1, 0, 0]
+    idx1 = [0, 1, 1, 0, 0, 1, 0, 1]
+    byte0 = sum(b << x for x, b in enumerate(idx0))  # 53
+    byte1 = sum(b << x for x, b in enumerate(idx1))  # 166
+    res0, res1 = byte0, (byte1 - byte0) % 256
+
+    red, green = (255, 0, 0, 255), (0, 255, 0, 255)
+    bw = _BitWriter()
+    header(bw, w, h)
+    # --- transform 1: COLOR_INDEXING, 2 colors -> width_bits 3 ---
+    bw.write(1, 1)
+    bw.write(3, 2)
+    bw.write(2 - 1, 8)
+    bw.write(0, 1)  # palette sub-image: no cache
+    # entries delta-coded: first = red, second = green - red (mod 256)
+    d = tuple((green[i] - red[i]) % 256 for i in range(4))
+    chans = {  # channel -> (entry0, entry1) in sub-image pixel order
+        "g": (red[1], d[1]), "r": (red[0], d[0]),
+        "b": (red[2], d[2]), "a": (red[3], d[3]),
+    }
+    codes = {}
+    for name in ("g", "r", "b", "a"):
+        v0, v1 = chans[name]
+        if v0 == v1:
+            single_code(bw, v0)
+            codes[name] = None
+        else:
+            pair_code(bw, min(v0, v1), max(v0, v1))
+            codes[name] = {min(v0, v1): (0, 1), max(v0, v1): (1, 1)}
+    single_code(bw, 0)  # D
+    for i in range(2):
+        for name in ("g", "r", "b", "a"):
+            if codes[name] is not None:
+                bw.write_code(*codes[name][chans[name][i]])
+    # --- transform 2: PREDICTOR over the packed 1x2 image ---
+    bw.write(1, 1)
+    bw.write(0, 2)
+    bw.write(2 - 2, 3)  # one tile (packed_w=1)
+    bw.write(0, 1)
+    single_code(bw, 2)  # mode 2 (T)
+    single_code(bw, 0)
+    single_code(bw, 0)
+    single_code(bw, 0)
+    single_code(bw, 0)
+    bw.write(0, 1)  # no more transforms
+    # --- main packed image: 1x2 residuals ---
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    pair_code(bw, min(res0, res1), max(res0, res1))
+    single_code(bw, 0)  # R
+    single_code(bw, 0)  # B
+    single_code(bw, 0)  # A
+    single_code(bw, 0)  # D
+    for r_ in (res0, res1):
+        bw.write_code(1 if r_ == max(res0, res1) else 0, 1)
+
+    out = decode_webp(wrap(bw.bytes()))
+    want = np.array(
+        [[[0, 255, 0] if b else [255, 0, 0] for b in idx0],
+         [[0, 255, 0] if b else [255, 0, 0] for b in idx1]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(out, want)
+
+
 def test_handbuilt_cross_color_transform():
     """Cross-color transform, one block: green_to_red=32 (delta = green
     when green < 128), green_to_blue=64, red_to_blue=0 — expected values
