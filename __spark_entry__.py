@@ -314,18 +314,12 @@ def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_subword_tokens(spark: SparkSession, sf: str) -> DataFrame:
-    """Vocab-driven greedy longest-match WordPiece over the fixture
-    vocabulary: the exact piece sequence (joined with '|') plus the count.
-    The oracle replays the same greedy matches with a DuckDB recursive
-    CTE over the SAME vocab literals, so the two engines must agree on
-    every piece boundary, not just the totals."""
-    from ocr_obsidian_spark.operators.tokenize import tokenize_wordpiece
-
+def _accent_injected(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared WordPiece driver input: the corpus is fully ascii-matchable,
+    so plant accented words on every third doc to force the whole-word
+    fold down BOTH paths (char fallback and word-[UNK])."""
     d = _t(spark, sf, "documents", spread=True)
-    # the corpus is fully ascii-matchable, so plant accented words on
-    # every third doc to force the whole-word fold down BOTH paths
-    injected = d.select(
+    return d.select(
         "doc_id",
         F.concat(
             F.coalesce(F.col("text"), F.lit("")),
@@ -334,6 +328,17 @@ def q_subword_tokens(spark: SparkSession, sf: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
+
+
+def q_subword_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocab-driven greedy longest-match WordPiece over the fixture
+    vocabulary: the exact piece sequence (joined with '|') plus the count.
+    The oracle replays the same greedy matches with a DuckDB recursive
+    CTE over the SAME vocab literals, so the two engines must agree on
+    every piece boundary, not just the totals."""
+    from ocr_obsidian_spark.operators.tokenize import tokenize_wordpiece
+
+    injected = _accent_injected(spark, sf)
     return tokenize_wordpiece(injected, unk_mode="both").select(
         "doc_id",
         F.array_join("wordpiece_tokens", "|").alias("tokens_str"),
@@ -353,16 +358,7 @@ def q_token_suite(spark: SparkSession, sf: str) -> DataFrame:
     from ocr_obsidian_spark.operators.textstats import with_token_counts
     from ocr_obsidian_spark.operators.tokenize import tokenize_wordpiece
 
-    d = _t(spark, sf, "documents", spread=True)
-    injected = d.select(
-        "doc_id",
-        F.concat(
-            F.coalesce(F.col("text"), F.lit("")),
-            F.when(
-                F.col("doc_id") % 3 == 0, F.lit(" résumé café naïveté")
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
+    injected = _accent_injected(spark, sf)
     return tokenize_wordpiece(
         with_token_counts(injected), unk_mode="both"
     ).select(
@@ -1296,7 +1292,19 @@ def q_lm_ppl(spark: SparkSession, sf: str) -> DataFrame:
     from ocr_obsidian_spark.operators.lm import with_lm_perplexity
 
     d = _t(spark, sf, "documents", spread=True)
-    scored = with_lm_perplexity(d)
+    # plant a literal '<s>' token on every fourth doc: it must score as
+    # an ordinary OOV word (<unk>), never as the BOS sentinel — pins the
+    # oracle's position-keyed (not string-keyed) BOS handling
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" <s> the")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    scored = with_lm_perplexity(injected)
     n, c = F.col("n_tokens"), F.col("nll_micro")
     band = (
         F.when(n == 0, -1)
@@ -1668,7 +1676,12 @@ def _lm_ppl_sql() -> str:
 
     t = model_sql_tables()
     return f"""
-        WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+        WITH inj AS (SELECT doc_id,
+                            coalesce(text, '') ||
+                            CASE WHEN doc_id % 4 = 0 THEN ' <s> the'
+                                 ELSE '' END AS text
+                     FROM documents),
+        n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM inj),
         w AS (SELECT doc_id, string_split(norm, ' ') AS ws
               FROM n WHERE norm <> ''),
         tok AS (SELECT doc_id, i, ws[i] AS cur,
@@ -1678,7 +1691,11 @@ def _lm_ppl_sql() -> str:
                       FROM w)),
         m AS (SELECT doc_id,
                      coalesce(vc.tok, '<unk>') AS cur_m,
-                     CASE WHEN prev = '<s>' THEN '<s>'
+                     -- BOS keys on the POSITION, not the sentinel string:
+                     -- a document containing a literal '<s>' token must
+                     -- map it to <unk> like any other OOV word (the
+                     -- Spark side never sees the sentinel as text)
+                     CASE WHEN tok.i = 1 THEN '<s>'
                           ELSE coalesce(vp.tok, '<unk>') END AS prev_m
               FROM tok
               LEFT JOIN {t['vocab']} AS vc(tok) ON tok.cur = vc.tok

@@ -257,11 +257,16 @@ def run_dedup(args) -> int:
     if args.mode == "exact":
         kept = drop_exact_duplicates(docs, args.text_col, args.id_col)
     elif args.mode == "substr":
-        # ExactSubstr-style: rows survive, shared passages are excised
-        kept = drop_duplicated_substrings(
+        # ExactSubstr-style: rows survive, shared passages are excised.
+        # Join the rebuilt text back onto the full rows so the output
+        # keeps every input column (url/lang/...) like the other modes —
+        # a bare rebuild table would silently narrow the schema and break
+        # downstream stages keyed on url
+        rebuilt = drop_duplicated_substrings(
             docs, text_col=args.text_col, id_col=args.id_col,
             width=args.substr_width,
         )
+        kept = docs.drop(args.text_col).join(rebuilt, args.id_col)
     else:
         cands = minhash_lsh_candidate_pairs(docs, args.text_col, args.id_col)
         pairs = ngram_jaccard_pairs(

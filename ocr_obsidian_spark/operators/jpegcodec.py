@@ -920,8 +920,11 @@ def encode_jpeg_progressive(
     if restart_interval:
         out += _chunk(0xDD, struct.pack(">H", restart_interval))
 
-    rst = 0
     for comp_idxs, ss, se, ah, al in scans:
+        # T.81: the modulo-8 restart count restarts at RST0 at the start
+        # of EVERY scan — a counter carried across scans desyncs strict
+        # decoders (libjpeg verifies the sequence)
+        rst = 0
         sos = bytes([len(comp_idxs)])
         for ci in comp_idxs:
             sos += bytes([comps[ci][0], 0x00])

@@ -33,7 +33,6 @@ split and re-unioned (two scans at 100 TB).
 
 from __future__ import annotations
 
-import math
 import re
 from collections import Counter
 from collections.abc import Iterable, Mapping
@@ -152,8 +151,7 @@ LANGID_FIXTURE_TRAIN: dict[str, tuple[str, ...]] = {
 }
 
 
-def _lpm(p: float) -> int:
-    return round(-math.log10(p) * 1_000_000)
+from .xengine import micro_log10_cost as _lpm
 
 
 NGRAM_ORDERS = (1, 2, 3)
@@ -311,8 +309,7 @@ def model_sql_tables(model: CharNGramNB = FIXTURE_NB) -> dict[str, str]:
     oracle: the feature list, per-language default costs, and the
     sparse (trigram, lang, delta) table."""
 
-    def esc(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+    from .xengine import sql_str_literal as esc
 
     feats = ", ".join(f"({esc(tg)})" for tg in sorted(model.features))
     langs = ", ".join(

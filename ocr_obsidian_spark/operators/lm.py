@@ -41,7 +41,6 @@ corpus-scale, model-based upgrade.
 
 from __future__ import annotations
 
-import math
 from collections import Counter
 from collections.abc import Iterable, Sequence
 from dataclasses import dataclass
@@ -83,9 +82,7 @@ LM_FIXTURE_TRAIN: tuple[str, ...] = (
 )
 
 
-def _lpm(p: float) -> int:
-    """Quantize a probability to integer micro negative-log10."""
-    return round(-math.log10(p) * 1_000_000)
+from .xengine import micro_log10_cost as _lpm
 
 
 @dataclass(frozen=True)
@@ -235,8 +232,7 @@ def model_sql_tables(model: KNBigramModel = FIXTURE_LM) -> dict[str, str]:
     Tokens are SQL-escaped; the fixture corpus is apostrophe-free so the
     escape is a no-op there."""
 
-    def esc(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+    from .xengine import sql_str_literal as esc
 
     vocab_rows = ", ".join(f"({esc(w)})" for w in sorted(model.vocab))
     uni_rows = ", ".join(

@@ -139,18 +139,29 @@ def drop_duplicated_substrings(
     joined = words.join(covered, id_col, "left").withColumn(
         "_cov", F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
     )
-    kept = F.filter(
-        F.transform("_ws", lambda w, i: F.struct(w.alias("w"), i.alias("i"))),
-        lambda x: ~F.array_contains(F.col("_cov"), x["i"]),
-    )
+    # surviving positions via array_except (hash-set build over _cov,
+    # one ordered pass over the index sequence): O(n + c) per document.
+    # An array_contains scan per word is O(n·c) — quadratic on a
+    # heavily-duplicated giant doc, the exact straggler class the
+    # page-local linearity rule exists for. sequence() needs the
+    # empty-doc guard: sequence(0, -1) DESCENDS in Spark.
+    kept_idx = F.when(
+        F.size("_ws") > 0,
+        F.array_except(
+            F.sequence(F.lit(0), F.size("_ws") - 1), F.col("_cov")
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     staged = joined.select(
         F.col(id_col),
         F.size("_ws").alias("_n"),
-        kept.alias("_kept"),
+        F.col("_ws"),
+        kept_idx.alias("_ki"),
     )
     return staged.select(
         F.col(id_col),
-        F.array_join(F.transform("_kept", lambda x: x["w"]), " ").alias(out),
-        F.size("_kept").cast("long").alias("n_words_kept"),
-        (F.col("_n") - F.size("_kept")).cast("long").alias("n_words_dropped"),
+        F.array_join(
+            F.transform("_ki", lambda i: F.element_at("_ws", i + 1)), " "
+        ).alias(out),
+        F.size("_ki").cast("long").alias("n_words_kept"),
+        (F.col("_n") - F.size("_ki")).cast("long").alias("n_words_dropped"),
     )

@@ -35,7 +35,6 @@ the UDF closure once per worker (a real 30k-entry vocab is ~300 KB).
 
 from __future__ import annotations
 
-import math
 from collections import Counter
 from collections.abc import Mapping, Sequence
 
@@ -398,9 +397,11 @@ UNIGRAM_UNK_COST = 12_000_000
 
 
 def _counts_to_costs(counts: Mapping[str, int]) -> dict[str, int]:
+    from .xengine import micro_log10_cost
+
     total = sum(counts.values())
     return {
-        p: max(1, round(-math.log10(c / total) * 1_000_000))
+        p: max(1, micro_log10_cost(c / total))
         for p, c in sorted(counts.items())
     }
 

@@ -462,8 +462,12 @@ def pack_token_sequences(
     to ≈budget files; this produces the fixed-width training EXAMPLES.
 
     Returns ``(shard_group, seq_idx, n_tokens, tokens)`` — one row per
-    packed sequence, fully deterministic at any parallelism (group is a
-    pure function of ``key_col``; order inside a group is ``id_col``).
+    packed sequence, fully deterministic at any parallelism: group is a
+    pure function of ``key_col``; order inside a group is ``id_col``
+    with a token-content hash as the tie-break, so duplicate ids (a bad
+    upstream union, ``id_col="url"``) still get a value-stable order —
+    rows tied on BOTH keys are byte-identical, and swapping identical
+    token arrays leaves the packed stream unchanged.
 
     Scale shape — ONE shuffle total (plan-pinned): the offset window
     moves the token arrays once, partitioned by group (size ``groups``
@@ -486,7 +490,7 @@ def pack_token_sequences(
     )
     w = (
         Window.partitionBy("_grp")
-        .orderBy("_id")
+        .orderBy("_id", F.xxhash64("_toks"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offset = F.coalesce(F.sum(F.size("_toks")).over(w), F.lit(0))

@@ -37,3 +37,21 @@ def md5_bucket(key: str | Column, buckets: int) -> Column:
     col = F.col(key) if isinstance(key, str) else key
     col = F.coalesce(col.cast("string"), F.lit(""))
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % buckets
+
+
+def micro_log10_cost(p: float) -> int:
+    """Quantize a probability to integer micro negative-log10 — the
+    shared cross-engine cost unit: every model table (KN-bigram LM,
+    NB language ID, unigram tokenizer) stores these integers as SQL
+    VALUES literals, so scoring is exact 64-bit arithmetic in BOTH
+    engines and no float ever enters a driver hash."""
+    import math
+
+    return round(-math.log10(p) * 1_000_000)
+
+
+def sql_str_literal(s: str) -> str:
+    """A single-quoted SQL string literal (quote doubling) — the one
+    escape both engines' parsers share; used by every model_sql_tables
+    VALUES emitter."""
+    return "'" + s.replace("'", "''") + "'"

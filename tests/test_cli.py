@@ -164,6 +164,9 @@ def test_dedup_subcommand_substr_mode(tmp_path, spark):
     # the planted passage (8 words, shared by all docs) is excised
     assert got.filter(F.col("text").contains("planted shared passage")).count() == 0
     assert got.agg(F.sum("n_words_dropped")).collect()[0][0] >= 40 * 8
+    # all input columns survive (rebuilt text is re-joined onto full rows)
+    for col in ("doc_id", "text", "lang", "source", "n_chars"):
+        assert col in got.columns, col
 
 
 def test_score_subcommand(tmp_path, spark):

@@ -212,6 +212,39 @@ def test_progressive_restart_markers():
     )
 
 
+def test_progressive_restart_sequence_resets_per_scan():
+    # T.81: the RSTn modulo counter restarts at RST0 for every scan; the
+    # in-repo decoder tolerates any index, but strict decoders verify it
+    from ocr_obsidian_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    payload = encode_jpeg_progressive(img, quant=2, restart_interval=2)
+    scans = 0
+    expected = None
+    i = 2
+    while i < len(payload) - 1:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        m = payload[i + 1]
+        if m == 0xDA:
+            scans += 1
+            expected = 0
+            i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+        elif 0xD0 <= m <= 0xD7:
+            assert m - 0xD0 == expected, (scans, m - 0xD0, expected)
+            expected = (expected + 1) & 7
+            i += 2
+        elif m in (0x00, 0xFF):  # stuffed byte / fill
+            i += 2
+        elif m == 0xD9:
+            break
+        else:  # other marker segment with length
+            i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+    assert scans >= 2  # multiple scans actually carried restart markers
+
+
 def test_progressive_flat_image_eob_runs():
     # constant image: every AC coefficient is zero -> each AC scan is one
     # maximal EOB run across all blocks

@@ -540,6 +540,25 @@ class TestPackTokenSequences:
         key = lambda r: (r["shard_group"], r["seq_idx"])
         assert sorted(a, key=key) == sorted(b, key=key)
 
+    def test_deterministic_with_duplicate_ids(self, spark):
+        # duplicate doc_ids (bad union / id_col='url') must still pack
+        # identically at any parallelism — the window tie-breaks on a
+        # token-content hash, not partition arrival order
+        from ocr_obsidian_spark.operators.webprep import pack_token_sequences
+
+        rows = [
+            (i % 5, "same-url", [f"w{i}_{j}" for j in range(i % 6 + 1)])
+            for i in range(30)
+        ]
+        a = pack_token_sequences(
+            self._df(spark, rows).repartition(1), seq_len=8, groups=4
+        ).collect()
+        b = pack_token_sequences(
+            self._df(spark, rows).repartition(16), seq_len=8, groups=4
+        ).collect()
+        key = lambda r: (r["shard_group"], r["seq_idx"])
+        assert sorted(a, key=key) == sorted(b, key=key)
+
     def test_eos_per_document_and_empty_docs(self, spark):
         from ocr_obsidian_spark.operators.webprep import pack_token_sequences
 
