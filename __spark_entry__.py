@@ -567,6 +567,73 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_near_duplicates(both, dim=64, threshold=0.9999).select("id_a", "id_b")
 
 
+def _semdedup_population(spark: SparkSession, sf: str) -> DataFrame:
+    """embeddings ∪ exact copies (+100000) ∪ first-coordinate ×1.05
+    perturbations (+200000) of the first 25 vectors, as array<double> —
+    the perturbed members give the SemDeDup keep rule non-trivial
+    decisions (25 three-member duplicate groups; in 14 the perturbed
+    copy is farther from its centroid and wins over the lower ids).
+    Measured margins on this input (tests/test_semdedup.py pins the
+    construction): assignment 8.2e-4, threshold 8.8e-4, every keep score
+    ≥1.4e-9 from a rounding boundary — all astronomically above the
+    ~1e-15 cross-engine float skew."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    head = emb.filter(F.col("vec_id") < 25)
+    copies = head.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    perturbed = head.select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) * F.lit(1.05)),
+            F.slice(F.col("embedding"), F.lit(2), F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(copies).unionByName(perturbed)
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, operators/semdedup.py): k=32
+    lowest-id-sample centroids (k bounds the within-cell pair volume —
+    the paper's own scaling knob; k=8 left 264k candidate pairs at
+    sf0.1, k=32 cuts that ~4×), within-cell cosine ≥ 0.999 duplicate
+    groups, keep = lowest centroid similarity (rounded, id tie-break).
+    Integer-only output; the oracle replays assignment, pairing,
+    components (recursive CTE) and the keep window from the SAME
+    centroid rows — no literal floats ride in the SQL."""
+    from ocr_obsidian_spark.operators.semdedup import semantic_dedup_labels
+    from ocr_obsidian_spark.operators.similarity import sample_centroids
+
+    both = _semdedup_population(spark, sf)
+    cents = sample_centroids(both, 32)
+    return semantic_dedup_labels(both, cents, threshold=0.999)
+
+
+def q_embedding_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver fold (round 5, keeps the registry at exactly 50 with
+    semantic_dedup added): the embedding_near_dup LSH pair set plus the
+    SemDeDup label table, tagged by a variant column with -1 padding
+    (NULL-free: long sentinels, per the compound-union rule). bench.py
+    still times q_embedding_near_dup and q_semantic_dedup separately."""
+    pair = q_embedding_near_dup(spark, sf).select(
+        F.lit("pair").alias("variant"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.lit(-1).cast("long").alias("c"),
+        F.lit(-1).cast("long").alias("d"),
+    )
+    sem = q_semantic_dedup(spark, sf).select(
+        F.lit("sem").alias("variant"),
+        F.col("vec_id").alias("a"),
+        F.col("sem_cell").alias("b"),
+        F.col("component").alias("c"),
+        F.col("kept").alias("d"),
+    )
+    return pair.unionByName(sem)
+
+
 def q_block_candidates(spark: SparkSession, sf: str) -> DataFrame:
     """Block-salience classification, web-graft form (SURVEY §2.11 #3):
     fixed-size token blocks scored by text/link density, pure native
@@ -1547,7 +1614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "dedup_groups": q_dedup_groups,
         "embedding_topk": q_embedding_topk,
-        "embedding_near_dup": q_embedding_near_dup,
+        # round 5 (late): SemDeDup labels folded onto the near-dup row —
+        # q_embedding_near_dup / q_semantic_dedup keep separate bench rows
+        "embedding_dedup": q_embedding_dedup,
         "multimodal_meta": q_multimodal_meta,
         "block_candidates": q_block_candidates,
         "book_export": q_book_export,
@@ -3169,16 +3238,80 @@ def oracle_sql() -> dict[str, str]:
                    || chr(10) AS content
             FROM blocks GROUP BY source
         """,
-        "embedding_near_dup": """
-            WITH e AS (
-                SELECT vec_id, embedding FROM embeddings
+        # pair half: exhaustive cosine over the doubled population (the
+        # Spark side is LSH-restricted; candidates are complete here).
+        # sem half: SemDeDup replayed from the SAME 8 lowest-id centroid
+        # rows — argmin-distance cells (tie: centroid id), within-cell
+        # pairs >= 0.999, recursive-CTE components, keep = lowest rounded
+        # centroid similarity then id. All-float compares have measured
+        # margins (q_semantic_dedup docstring); output is integer-only.
+        "embedding_dedup": """
+            WITH RECURSIVE pe AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                 UNION ALL
-                SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 25
+                SELECT vec_id + 100000, embedding::DOUBLE[]
+                FROM embeddings WHERE vec_id < 25
+            ),
+            se AS (
+                SELECT vec_id, v FROM pe
+                UNION ALL
+                SELECT vec_id + 200000,
+                       list_prepend(v[1] * 1.05, v[2:])
+                FROM pe WHERE vec_id < 25
+            ),
+            cents AS (SELECT vec_id AS ck, v AS cv FROM se WHERE vec_id < 32),
+            asg AS (
+                SELECT vec_id, ck, sim FROM (
+                    SELECT se.vec_id, c.ck,
+                           list_cosine_similarity(se.v, c.cv) AS sim,
+                           row_number() OVER (
+                               PARTITION BY se.vec_id
+                               ORDER BY list_distance(se.v, c.cv), c.ck
+                           ) AS rn
+                    FROM se CROSS JOIN cents c
+                ) WHERE rn = 1
+            ),
+            p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM se a
+                JOIN se b ON a.vec_id < b.vec_id
+                JOIN asg aa ON aa.vec_id = a.vec_id
+                JOIN asg ab ON ab.vec_id = b.vec_id
+                WHERE aa.ck = ab.ck
+                  AND list_cosine_similarity(a.v, b.v) >= 0.999
+            ),
+            ed AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION
+                SELECT id_b, id_a FROM p
+            ),
+            reach(node, lab) AS (
+                SELECT src, src FROM ed
+                UNION
+                SELECT ed.dst, reach.lab FROM reach JOIN ed ON ed.src = reach.node
+            ),
+            comp AS (SELECT node, min(lab) AS c FROM reach GROUP BY node),
+            lab AS (
+                SELECT asg.vec_id, asg.ck, asg.sim,
+                       coalesce(comp.c, asg.vec_id) AS component
+                FROM asg LEFT JOIN comp ON comp.node = asg.vec_id
+            ),
+            ranked AS (
+                SELECT vec_id, ck, component,
+                       row_number() OVER (
+                           PARTITION BY component
+                           ORDER BY round(sim, 6), vec_id) AS rn
+                FROM lab
             )
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                  >= 0.9999
+            SELECT 'pair' AS variant, a.vec_id AS a, b.vec_id AS b,
+                   CAST(-1 AS BIGINT) AS c, CAST(-1 AS BIGINT) AS d
+            FROM pe a JOIN pe b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.9999
+            UNION ALL
+            SELECT 'sem', vec_id, CAST(ck AS BIGINT),
+                   component,
+                   CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT)
+            FROM ranked
         """,
         "block_candidates": f"""
             WITH n AS (

@@ -148,8 +148,9 @@ def main() -> None:
         # tokenization — not comparable to any earlier row)
         "substr_dedup", "lm_ppl", "lang_id", "pack_sequences",
         # round 5 (late): character-level BPE over the fixture merge
-        # table, then unigram-LM Viterbi over the fixture cost table
-        "bpe_tokens", "unigram_tokens",
+        # table, then unigram-LM Viterbi over the fixture cost table,
+        # then SemDeDup semantic dedup labels over embeddings
+        "bpe_tokens", "unigram_tokens", "semantic_dedup",
     ]
     if only and only != "extract":
         # targeted mode for scaling probes: comma-separated query names,

@@ -252,6 +252,7 @@ def pair_components(
     b_col: str = "id_b",
     max_iter: int = 25,
     checkpoint: str = "local",
+    driver_max_edges: int | None = 2_000_000,
 ) -> DataFrame:
     """(node, component) — connected components of the near-dup pair graph;
     ``component`` is the minimum node id reachable. This is the stage that
@@ -274,6 +275,19 @@ def pair_components(
     real cluster; ``"reliable"`` writes each round to the session's
     ``spark.sparkContext.setCheckpointDir`` (must be configured) and
     survives executor loss — the at-scale setting.
+
+    ``driver_max_edges`` gates a SMALL-GRAPH fast path: the input here is
+    the *verified duplicate-pair* graph, which is orders of magnitude
+    smaller than the corpus that produced it (a 1%-dup corpus yields
+    ~0.01× pairs), and each distributed round costs a fixed 2-job latency
+    regardless of size. When the deduped edge list (already
+    lineage-truncated, so the count is one cheap narrow job) is at or
+    under the threshold, the edges — (long, long) tuples, ~32 bytes/row,
+    so the 2M default is ~64 MB driver heap — are collected and resolved
+    with a single union-find pass, and the labels broadcast back as a
+    DataFrame. Identical output by construction (min reachable id); the
+    equivalence is fuzz-pinned in tests/test_dedup.py. Set
+    ``driver_max_edges=None`` (or 0) to force the distributed path.
     """
     if checkpoint not in ("local", "reliable"):
         raise ValueError(f"unknown checkpoint mode: {checkpoint!r}")
@@ -290,11 +304,46 @@ def pair_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    edges = (
+    # edges are joined against EVERY round — truncate them once up front,
+    # or each iteration re-executes the whole upstream candidate pipeline
+    # (signatures/banding/verification), multiplying its cost by the round
+    # count
+    edges = _truncate(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
+    if driver_max_edges and edges.count() <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.collect():
+            s, d = row[0], row[1]
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union by min so the root IS the component label
+                if rs < rd:
+                    parent[rd] = rs
+                else:
+                    parent[rs] = rd
+        out = [(n, find(n)) for n in parent]
+        schema = T.StructType(
+            [
+                T.StructField("node", edges.schema[0].dataType, False),
+                T.StructField("component", edges.schema[0].dataType, False),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(out, schema)
+
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

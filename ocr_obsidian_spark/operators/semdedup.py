@@ -1,0 +1,239 @@
+"""Semantic deduplication over embeddings (SemDeDup-style).
+
+SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication" — public) removes *semantic*
+duplicates that exact/near-text dedup misses: cluster the corpus
+embeddings with k-means, compare pairs only WITHIN a cluster, call a
+pair duplicated when cosine similarity exceeds a threshold, and keep
+exactly one member per duplicate group — the member with the LOWEST
+cosine similarity to its cluster centroid (the most atypical example;
+the paper's keep rule, §3.1).
+
+This module is that recipe composed from the repo's existing
+100 TB-shaped pieces — nothing here is new plan machinery:
+
+  1. cell assignment = ``similarity.ivf_assign`` (map-only; K literal
+     centroid expressions under whole-stage codegen up to K=64, the
+     Arrow/numpy matmul path above — the same coarse quantizer IVF uses,
+     and SemDeDup's own clustering step). Centroids come from
+     ``kmeans_centroids`` (seeded MLlib fit) in deployments and from the
+     deterministic ``sample_centroids`` in the driver oracle;
+  2. centroid similarity (the keep-rule score) is one more map-side
+     expression — no shuffle;
+  3. within-cell candidate pairs = ``similarity.bucketed_candidate_pairs``
+     on the cell key: all-pairs only inside a bounded cell, and cells
+     above ``max_cell_size`` degrade to sorted-adjacent chaining instead
+     of O(m²) (components survive chaining for true duplicate clusters;
+     general pairs lost to the cap are reported via ``bucket_cap_stats``,
+     never silently). The exact-cosine verification joins vectors back
+     by id — only candidate rows, never the corpus square;
+  4. duplicate groups = ``dedup.pair_components`` (pointer doubling,
+     O(log diameter) narrow self-joins);
+  5. the keep rule is ONE row_number window over (component) ordered by
+     (rounded centroid similarity asc, id) — a narrow shuffle of
+     (id, component, cent_sim) triples; the rounding keeps the
+     cross-engine order stable (CLAUDE.md: order by the ROUNDED score
+     on both sides), and exact copies tie on the score and fall back to
+     the id order deterministically.
+
+The paper compares every pair inside a cluster; the cell cap is the one
+at-scale deviation and it is parameterized + reported. Everything else
+is the published semantics.
+
+Reference tie-in: the reference has no embedding operators at all
+(SURVEY §2 maps its span-merge dedup to A7); this is part of the
+training-data-pipeline extension surface, the embedding-side sibling of
+webprep.drop_duplicated_lines / substrdedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import pair_components
+from .similarity import (
+    _dot,
+    _norm,
+    bucketed_candidate_pairs,
+    cosine_similarity,
+    ivf_assign,
+)
+
+
+def _centroid_sim(centroids: list[list[float]], vec_col: str, cell_col: str) -> F.Column:
+    """cosine(vec, centroid[cell]) as a map-side expression: the cell is
+    already an integer column, so this is one element_at into an array-of
+    -arrays literal followed by the dot product. The centroid NORMS are
+    computed driver-side into a K-element literal — referencing the K×dim
+    centroid literal once (dot) instead of twice (dot + norm) halves the
+    biggest subtree in the plan."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    norm_lit = F.array(
+        *[F.lit(float(sum(v * v for v in c)) ** 0.5) for c in centroids]
+    )
+    own = F.element_at(cent_lit, F.col(cell_col) + 1)
+    own_norm = F.element_at(norm_lit, F.col(cell_col) + 1)
+    return _dot(F.col(vec_col), own) / (_norm(F.col(vec_col)) * own_norm)
+
+
+def assign_semantic_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    cell_col: str = "sem_cell",
+    sim_col: str = "cent_sim",
+) -> DataFrame:
+    """Map-only: nearest-centroid cell plus the keep-rule score
+    (cosine to the OWN cell's centroid). Zero shuffles."""
+    out = ivf_assign(df, centroids, vec_col=vec_col, out_col=cell_col)
+    return out.withColumn(sim_col, _centroid_sim(centroids, vec_col, cell_col))
+
+
+def _truncate(df: DataFrame, checkpoint: str) -> DataFrame:
+    """Lineage truncation at the assignment boundary. The K-centroid
+    argmin is a K×dim-literal expression tree; left in the lineage it is
+    duplicated into every downstream window/join/distinct and Catalyst
+    re-optimizes a multi-megabyte plan on EVERY action (measured: 31 s of
+    driver-side planning for a 0.5 s job at K=32). The assignment output
+    is a narrow (id, cell, sim) table — cutting here keeps all later
+    stages planning over attributes, and is also what a 100 TB run wants:
+    the giant literal tree must not ship with every task. Same
+    ``checkpoint`` contract as ``dedup.pair_components``: ``"local"``
+    (fast, executor-resident) or ``"reliable"`` (survives executor loss;
+    requires a configured checkpoint dir)."""
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"unknown checkpoint mode: {checkpoint!r}")
+    if checkpoint == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint='reliable' requires "
+                "spark.sparkContext.setCheckpointDir(...) to be set"
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def semantic_duplicate_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9999,
+    max_cell_size: int | None = 4096,
+    checkpoint: str = "local",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b) pairs with cosine >= ``threshold`` among CELL-MATES.
+
+    The cell restriction is the SemDeDup contract (and the scale bound):
+    candidate volume is sum of cell sizes squared, never corpus², and
+    cells above ``max_cell_size`` chain instead of self-joining.
+    ``assigned`` lets a caller that already holds the (truncated)
+    assignment table pass it in instead of recomputing it; it must carry
+    ``id_col`` and a ``_cell`` column."""
+    if assigned is None:
+        assigned = _truncate(
+            assign_semantic_cells(
+                df, centroids, vec_col=vec_col, cell_col="_cell"
+            ).select(F.col(id_col), F.col("_cell")),
+            checkpoint,
+        )
+    keyed = assigned.select(F.col(id_col), F.col("_cell"))
+    cands = bucketed_candidate_pairs(keyed, id_col, ["_cell"], max_cell_size)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def semantic_dedup_labels(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9999,
+    max_cell_size: int | None = 4096,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """One row per input row: ``(id_col, sem_cell, component, kept)``.
+
+    ``component`` is the duplicate group (min reachable id; a row in no
+    duplicate pair is its own component), ``kept`` (0/1 long) marks the
+    group representative under the paper's rule — lowest centroid
+    similarity, id ascending as the tie-break (exact copies have equal
+    scores). Integer-only output: the driver oracle hashes no float.
+
+    The assignment is computed ONCE and lineage-truncated (see
+    ``_truncate``) — pairs, components and the keep window all read the
+    narrow (id, cell, sim) table, never the K×dim-literal plan."""
+    assigned = _truncate(
+        assign_semantic_cells(
+            df, centroids, vec_col=vec_col, cell_col="sem_cell"
+        ).select(F.col(id_col), "sem_cell", "cent_sim"),
+        checkpoint,
+    )
+    pairs = semantic_duplicate_pairs(
+        df,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        max_cell_size=max_cell_size,
+        checkpoint=checkpoint,
+        assigned=assigned.select(
+            F.col(id_col), F.col("sem_cell").alias("_cell")
+        ),
+    )
+    comps = pair_components(pairs, checkpoint=checkpoint).select(
+        F.col("node").alias(id_col), "component"
+    )
+    labeled = assigned.join(comps, id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    # the keep rule: rounded score first (cross-engine order stability —
+    # raw float dust must not flip ranks), id as the deterministic tie
+    w = Window.partitionBy("component").orderBy(
+        F.round(F.col("cent_sim"), 6).asc(), F.col(id_col).asc()
+    )
+    return labeled.select(
+        F.col(id_col),
+        F.col("sem_cell").cast("long").alias("sem_cell"),
+        F.col("component"),
+        (F.row_number().over(w) == 1).cast("long").alias("kept"),
+    )
+
+
+def drop_semantic_duplicates(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9999,
+    max_cell_size: int | None = 4096,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """The end-to-end SemDeDup resolution: keep one representative per
+    semantic-duplicate group (the paper's lowest-centroid-similarity
+    member), pass everything else through untouched."""
+    labels = semantic_dedup_labels(
+        df,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        max_cell_size=max_cell_size,
+        checkpoint=checkpoint,
+    )
+    losers = labels.filter(F.col("kept") == 0).select(F.col(id_col))
+    return df.join(losers, id_col, "left_anti")

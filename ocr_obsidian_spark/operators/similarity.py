@@ -242,7 +242,13 @@ def ivf_assign(
       * ``"expression"`` — argmin over K squared-distance column
         expressions, JVM-side whole-stage codegen. Oracle-stable (the
         driver's ivf_ann query pins this path) but degenerates above
-        K≈64: K literal expression trees + a depth-K when-chain.
+        K≈64: K literal expression trees. The argmin is
+        ``array_position(dists, array_min(dists))`` — first index on
+        ties, i.e. the lowest centroid id — built over ONE array of the
+        K distances, keeping the tree O(K·dim); the earlier
+        least()+when-chain form duplicated every distance K+1 times
+        (O(K²·dim) nodes) and cost ~20 s of per-call Catalyst analysis
+        at K=32.
       * ``"vectorized"`` — Arrow-batched numpy matmul argmin
         (``_ivf_assign_udf``), the 100 TB path for K up to ~10^5.
       * ``"auto"`` (default) — expression for ``len(centroids) <=
@@ -264,10 +270,8 @@ def ivf_assign(
             lambda acc, v: acc + v,
         )
         dists.append(d2)
-    best = F.least(*dists) if len(dists) > 1 else dists[0]
-    cell = F.lit(len(centroids) - 1)
-    for i in range(len(centroids) - 2, -1, -1):
-        cell = F.when(dists[i] == best, F.lit(i)).otherwise(cell)
+    dist_arr = F.array(*dists)
+    cell = (F.array_position(dist_arr, F.array_min(dist_arr)) - 1).cast("int")
     return df.withColumn(out_col, cell)
 
 

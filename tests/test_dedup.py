@@ -130,14 +130,20 @@ def test_pair_components_random_graph_vs_union_find(spark):
     n = 400
     pairs = {tuple(sorted(rng.sample(range(n), 2))) for _ in range(180)}
     df = spark.createDataFrame(sorted(pairs), "id_a long, id_b long")
-    got = {r["node"]: r["component"] for r in pair_components(df).collect()}
     exp = _uf_components(n, pairs)
     exp_label = {node: m for m, members in exp.items() for node in members}
-    # only nodes appearing in pairs are labeled
     in_pairs = {x for p in pairs for x in p}
-    assert set(got) == in_pairs
-    for node in in_pairs:
-        assert got[node] == exp_label.get(node, node), node
+    # BOTH strategies — the small-graph driver union-find (default gate)
+    # and the distributed pointer doubling — must agree with the naive
+    # union-find exactly; only nodes appearing in pairs are labeled
+    for gate in (2_000_000, None):
+        got = {
+            r["node"]: r["component"]
+            for r in pair_components(df, driver_max_edges=gate).collect()
+        }
+        assert set(got) == in_pairs
+        for node in in_pairs:
+            assert got[node] == exp_label.get(node, node), (gate, node)
 
 
 def test_pair_components_long_chain_converges(spark):
@@ -147,7 +153,7 @@ def test_pair_components_long_chain_converges(spark):
     from ocr_obsidian_spark.operators.dedup import pair_components
 
     df = spark.createDataFrame([(i, i + 1) for i in range(999)], "id_a long, id_b long")
-    rows = pair_components(df).collect()
+    rows = pair_components(df, driver_max_edges=None).collect()
     assert len(rows) == 1000
     assert {r["component"] for r in rows} == {0}
 
@@ -190,7 +196,9 @@ def test_pair_components_reliable_checkpoint(spark, tmp_path):
             pair_components(df, checkpoint="reliable").collect()
     sc.setCheckpointDir(str(tmp_path / "ckpt"))
     got = {r["node"]: r["component"]
-           for r in pair_components(df, checkpoint="reliable").collect()}
+           for r in pair_components(
+               df, checkpoint="reliable", driver_max_edges=None
+           ).collect()}
     assert set(got.values()) == {0} and len(got) == 201
     with _pytest.raises(ValueError, match="unknown checkpoint mode"):
         pair_components(df, checkpoint="bogus")

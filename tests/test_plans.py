@@ -275,3 +275,26 @@ def test_bpe_tokenize_is_map_only(spark):
     p = plan_str(tokenize_bpe(docs), mode="simple")
     assert "Exchange" not in p
     assert p.count("ArrowEvalPython") == 1
+
+
+def test_semdedup_assignment_is_map_only_and_no_cartesian(spark):
+    """SemDeDup plan shape: cell assignment + centroid similarity are
+    pure map-side expressions (zero exchanges, zero python); the full
+    label pipeline contains no cartesian product anywhere — every pair
+    comes from the cell-key equi-join."""
+    from pyspark.sql import functions as F
+
+    from ocr_obsidian_spark.operators.semdedup import (
+        assign_semantic_cells,
+        semantic_dedup_labels,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = [[float(i == j) for j in range(64)] for i in range(8)]
+    p = plan_str(assign_semantic_cells(emb, cents), mode="simple")
+    assert "Exchange" not in p and "Python" not in p
+
+    full = plan_str(semantic_dedup_labels(emb, cents), mode="simple")
+    assert "CartesianProduct" not in full and "BroadcastNestedLoop" not in full
