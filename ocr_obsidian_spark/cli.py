@@ -239,7 +239,10 @@ def run_export_text(args) -> int:
 def run_dedup(args) -> int:
     """documents table → deduplicated table (training-data suite from the
     CLI): exact = single-shuffle content-hash window; near = minhash-LSH
-    candidates → Jaccard verification → connected components → keep-list."""
+    candidates → Jaccard verification → connected components → keep-list;
+    substr = ExactSubstr passage excision; semantic = SemDeDup over a
+    sidecar embeddings table (seeded k-means cells, within-cell cosine,
+    keep the most-atypical member)."""
     from .operators.dedup import (
         drop_exact_duplicates,
         drop_near_duplicates,
@@ -256,6 +259,29 @@ def run_dedup(args) -> int:
     n_in = docs.count()
     if args.mode == "exact":
         kept = drop_exact_duplicates(docs, args.text_col, args.id_col)
+    elif args.mode == "semantic":
+        from pyspark.sql import functions as F
+
+        from .operators.semdedup import semantic_dedup_labels
+        from .operators.similarity import kmeans_centroids
+
+        if not args.embeddings:
+            print("dedup --mode semantic requires --embeddings", file=sys.stderr)
+            return 2
+        emb = spark.read.parquet(args.embeddings).select(
+            F.col(args.id_col),
+            F.col(args.vec_col).cast("array<double>").alias(args.vec_col),
+        )
+        cents = kmeans_centroids(emb, args.clusters, vec_col=args.vec_col)
+        labels = semantic_dedup_labels(
+            emb,
+            cents,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            threshold=args.cosine_threshold,
+        )
+        losers = labels.filter(F.col("kept") == 0).select(args.id_col)
+        kept = docs.join(losers, args.id_col, "left_anti")
     elif args.mode == "substr":
         # ExactSubstr-style: rows survive, shared passages are excised.
         # Join the rebuilt text back onto the full rows so the output
@@ -506,10 +532,18 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(p)
     p.add_argument("--docs", required=True, help="documents parquet path")
     p.add_argument("--out", required=True)
-    p.add_argument("--mode", choices=["exact", "near", "substr"], default="exact")
+    p.add_argument("--mode", choices=["exact", "near", "substr", "semantic"],
+                   default="exact")
     p.add_argument("--threshold", type=float, default=0.8, help="near-dup Jaccard floor")
     p.add_argument("--substr-width", type=int, default=8,
                    help="substr mode: shared-passage word threshold")
+    p.add_argument("--embeddings", default=None,
+                   help="semantic mode: parquet with (id-col, vec-col)")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--clusters", type=int, default=64,
+                   help="semantic mode: k-means cell count (seeded fit)")
+    p.add_argument("--cosine-threshold", type=float, default=0.999,
+                   help="semantic mode: within-cell duplicate cosine floor")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.set_defaults(handler=run_dedup)

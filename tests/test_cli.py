@@ -99,6 +99,37 @@ def test_dedup_subcommand_exact_and_near(tmp_path, spark):
     assert near.count() <= 60
 
 
+def test_dedup_subcommand_semantic_mode(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(40)
+    )
+    dup = emb.limit(5).select((F.col("vec_id") + 9000).alias("vec_id"), "embedding")
+    allv = emb.unionByName(dup)
+    esrc = str(tmp_path / "emb")
+    allv.write.parquet(esrc)
+    docs = allv.select(
+        "vec_id", F.concat(F.lit("doc "), F.col("vec_id")).alias("text")
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "sem")
+    # exact-copy groups tie on the rounded keep score → id asc tie-break
+    # keeps the original, drops every injected +9000 copy
+    assert main(["dedup", "--docs", src, "--out", out, "--mode", "semantic",
+                 "--embeddings", esrc, "--id-col", "vec_id",
+                 "--clusters", "4"]) == 0
+    res = spark.read.parquet(out)
+    assert res.count() == 40
+    assert res.filter(F.col("vec_id") >= 9000).count() == 0
+    # semantic mode refuses to run without the sidecar embeddings table
+    assert main(["dedup", "--docs", src, "--out", str(tmp_path / "x"),
+                 "--mode", "semantic"]) == 2
+
+
 def test_module_entrypoint_help_runs_without_spark():
     out = subprocess.run(
         [sys.executable, "-m", "ocr_obsidian_spark", "--help"],
