@@ -280,12 +280,11 @@ def pair_components(
     the *verified duplicate-pair* graph, which is orders of magnitude
     smaller than the corpus that produced it (a 1%-dup corpus yields
     ~0.01× pairs), and each distributed round costs a fixed 2-job latency
-    regardless of size. When the deduped edge list (already
-    lineage-truncated, so the count is one cheap narrow job) is at or
-    under the threshold, the edges — (long, long) tuples, ~32 bytes/row,
-    so the 2M default is ~64 MB driver heap — are collected and resolved
-    with a single union-find pass, and the labels broadcast back as a
-    DataFrame. Identical output by construction (min reachable id); the
+    regardless of size. A single ``limit(threshold+1).collect()`` job
+    both decides the gate and fetches the complete deduped edge list —
+    (long, long) tuples, ~32 bytes/row, so the 2M default is ~64 MB
+    driver heap — which one union-find pass resolves into labels
+    returned as a DataFrame. Identical output by construction (min reachable id); the
     equivalence is fuzz-pinned in tests/test_dedup.py. Set
     ``driver_max_edges=None`` (or 0) to force the distributed path.
     """
@@ -304,46 +303,52 @@ def pair_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    # edges are joined against EVERY round — truncate them once up front,
-    # or each iteration re-executes the whole upstream candidate pipeline
-    # (signatures/banding/verification), multiplying its cost by the round
-    # count
-    edges = _truncate(
+    edge_plan = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
-    if driver_max_edges and edges.count() <= driver_max_edges:
-        parent: dict = {}
+    if driver_max_edges:
+        # single job decides the gate AND fetches the edges: limit(N+1)
+        # either returns the complete (deduped) edge list or proves the
+        # graph is over-threshold with one extra row
+        rows = edge_plan.limit(driver_max_edges + 1).collect()
+        if len(rows) <= driver_max_edges:
+            parent: dict = {}
 
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
 
-        for row in edges.collect():
-            s, d = row[0], row[1]
-            parent.setdefault(s, s)
-            parent.setdefault(d, d)
-            rs, rd = find(s), find(d)
-            if rs != rd:
-                # union by min so the root IS the component label
-                if rs < rd:
-                    parent[rd] = rs
-                else:
-                    parent[rs] = rd
-        out = [(n, find(n)) for n in parent]
-        schema = T.StructType(
-            [
-                T.StructField("node", edges.schema[0].dataType, False),
-                T.StructField("component", edges.schema[0].dataType, False),
-            ]
-        )
-        return pairs.sparkSession.createDataFrame(out, schema)
+            for row in rows:
+                s, d = row[0], row[1]
+                parent.setdefault(s, s)
+                parent.setdefault(d, d)
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    # union by min so the root IS the component label
+                    if rs < rd:
+                        parent[rd] = rs
+                    else:
+                        parent[rs] = rd
+            out = [(n, find(n)) for n in parent]
+            schema = T.StructType(
+                [
+                    T.StructField("node", edge_plan.schema[0].dataType, False),
+                    T.StructField("component", edge_plan.schema[0].dataType, False),
+                ]
+            )
+            return pairs.sparkSession.createDataFrame(out, schema)
 
+    # edges are joined against EVERY round — truncate them once up front,
+    # or each iteration re-executes the whole upstream candidate pipeline
+    # (signatures/banding/verification), multiplying its cost by the round
+    # count
+    edges = _truncate(edge_plan)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
