@@ -1021,6 +1021,43 @@ def q_mix_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return kept.select("doc_id", "source")
 
 
+def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023, operators/dsir.py):
+    fixture-trained hashed-bigram log-ratio model (data-INDEPENDENT, like
+    FIXTURE_LM — the oracle's lam table must be static SQL), exact
+    integer micro log-weights, deterministic md5-Gumbel top-100 without
+    replacement. Output is integer-only."""
+    from ocr_obsidian_spark.operators.dsir import dsir_select
+
+    docs = _t(spark, sf, "documents", spread=True)
+    return dsir_select(docs, 100)
+
+
+def q_mix_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver fold (round 5, keeps the registry at exactly 50 with dsir
+    added): the source-keyed mix_corpus keep-set plus the content-keyed
+    DSIR weight/selection table, tagged by a variant column with
+    ''/-1 sentinels (NULL-free compound-union rule). bench.py still
+    times q_mix_corpus and q_dsir separately."""
+    mix = q_mix_corpus(spark, sf).select(
+        F.lit("mix").alias("variant"),
+        F.col("doc_id"),
+        F.col("source").alias("s"),
+        F.lit(-1).cast("long").alias("v1"),
+        F.lit(-1).cast("long").alias("v2"),
+        F.lit(-1).cast("long").alias("v3"),
+    )
+    dsir = q_dsir(spark, sf).select(
+        F.lit("dsir").alias("variant"),
+        F.col("doc_id"),
+        F.lit("").alias("s"),
+        F.col("n_grams").alias("v1"),
+        F.col("logw_micro").alias("v2"),
+        F.col("selected").alias("v3"),
+    )
+    return mix.unionByName(dsir)
+
+
 def _noisy_url(base_id: F.Column) -> F.Column:
     """Deterministically 'dirtied' url for a given id expression — six
     rotating noise variants (tracking params + fragment, trailing slash,
@@ -1642,7 +1679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_suite": q_html_suite,
         "pack_sequences": q_pack_sequences,
         "url_canon": q_url_canon_suite,
-        "mix_corpus": q_mix_corpus,
+        # round 5 (late): DSIR folded onto the corpus-composition row —
+        # q_mix_corpus / q_dsir keep separate bench rows
+        "mix_suite": q_mix_suite,
         "pack_shards": q_pack_shards,
         "url_dedup": q_url_dedup,
         "script_mix": q_script_mix,
@@ -1666,6 +1705,14 @@ from ocr_obsidian_spark.operators.xengine import WS_RE as _WS_RE  # noqa: E402
 _NORM_SQL = (
     f"lower(trim(regexp_replace(coalesce(text, ''), '{_WS_RE}', ' ', 'g')))"
 )
+
+# DSIR fixture model as a (bucket, lam_micro) VALUES literal — the fit is
+# data-independent (embedded fixture corpora), so this is static SQL
+from ocr_obsidian_spark.operators.dsir import (  # noqa: E402
+    dsir_sql_lam_table as _dsir_sql_lam_table,
+)
+
+_DSIR_LAM = _dsir_sql_lam_table()
 
 
 def _lang_id_sql() -> str:
@@ -2990,13 +3037,62 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (domain = 'src0-0.test' OR domain LIKE '%.src0-0.test'
                     OR domain = 'src1-3.test' OR domain LIKE '%.src1-3.test')
         """,
-        "mix_corpus": f"""
-            WITH u AS (SELECT doc_id, source, {_URL_SQL} AS url FROM documents)
-            SELECT doc_id, source FROM u
-            WHERE ('0x' || substr(md5(coalesce(url, '')), 1, 8))::BIGINT % 10000 <
-                  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
-                              WHEN 'src2' THEN 2500 WHEN 'src3' THEN 500
-                              ELSE 0 END
+        # mix half: the round-3 md5-bucket keep set, unchanged. dsir
+        # half: grams (unigrams + space-joined bigrams) via the
+        # unnest(generate_series) subquery pattern, md5-first-8-hex
+        # buckets joined to the fixture lam VALUES table (integer
+        # micro-log10 ratios — fit is data-independent so the SQL is
+        # static), exact integer weight sums, deterministic md5-Gumbel
+        # keys rounded to 6 dp (cross-engine rule) with doc_id ties.
+        # Margins measured in tests/test_dsir.py::test_driver_oracle_margins.
+        "mix_suite": f"""
+            WITH u AS (SELECT doc_id, source, {_URL_SQL} AS url FROM documents),
+            mixk AS (
+                SELECT doc_id, source FROM u
+                WHERE ('0x' || substr(md5(coalesce(url, '')), 1, 8))::BIGINT % 10000 <
+                      CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                                  WHEN 'src2' THEN 2500 WHEN 'src3' THEN 500
+                                  ELSE 0 END
+            ),
+            n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+            w AS (SELECT doc_id, string_split(norm, ' ') AS ws
+                  FROM n WHERE norm <> ''),
+            uni AS (SELECT doc_id, ws[i] AS g
+                    FROM (SELECT doc_id, ws,
+                                 unnest(generate_series(1, len(ws))) AS i
+                          FROM w)),
+            bi AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+                   FROM (SELECT doc_id, ws,
+                                unnest(generate_series(1, len(ws) - 1)) AS i
+                         FROM w)),
+            gr AS (SELECT doc_id,
+                          ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS b
+                   FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+            sc AS (SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS ng,
+                          CAST(sum(l.lam) AS BIGINT) AS lw
+                   FROM gr JOIN {_DSIR_LAM} AS l(b, lam) USING (b)
+                   GROUP BY gr.doc_id),
+            j AS (SELECT d.doc_id,
+                         coalesce(sc.ng, 0) AS n_grams,
+                         coalesce(sc.lw, 0) AS logw_micro
+                  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+            keyed AS (SELECT doc_id, n_grams, logw_micro,
+                             round(logw_micro / 1e6 + -ln(-ln(
+                                 (('0x' || substr(md5('gumbel:7:' ||
+                                       doc_id::VARCHAR), 1, 8))::BIGINT
+                                  + 0.5) / 4294967296.0)), 6) AS k
+                      FROM j),
+            ranked AS (SELECT doc_id, n_grams, logw_micro,
+                              row_number() OVER (ORDER BY k DESC, doc_id) AS rn
+                       FROM keyed)
+            SELECT 'mix' AS variant, doc_id, source AS s,
+                   CAST(-1 AS BIGINT) AS v1, CAST(-1 AS BIGINT) AS v2,
+                   CAST(-1 AS BIGINT) AS v3
+            FROM mixk
+            UNION ALL
+            SELECT 'dsir', doc_id, '', n_grams, logw_micro,
+                   CAST(CASE WHEN rn <= 100 THEN 1 ELSE 0 END AS BIGINT)
+            FROM ranked
         """,
         # sequence packing: same md5-bucket expression as hash_sample /
         # pack_shards; stream offsets via a window prefix sum, token

@@ -149,8 +149,9 @@ def main() -> None:
         "substr_dedup", "lm_ppl", "lang_id", "pack_sequences",
         # round 5 (late): character-level BPE over the fixture merge
         # table, then unigram-LM Viterbi over the fixture cost table,
-        # then SemDeDup semantic dedup labels over embeddings
-        "bpe_tokens", "unigram_tokens", "semantic_dedup",
+        # then SemDeDup semantic dedup labels over embeddings, then
+        # DSIR importance-resampling weights + Gumbel top-k
+        "bpe_tokens", "unigram_tokens", "semantic_dedup", "dsir",
     ]
     if only and only != "extract":
         # targeted mode for scaling probes: comma-separated query names,

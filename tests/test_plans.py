@@ -153,7 +153,11 @@ def test_webtext_suite_plan_shapes(spark):
     import __spark_entry__ as e
 
     def counts(q):
-        p = e.queries()[q](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        # folded registry rows (e.g. mix_corpus → mix_suite) keep their
+        # original per-shape bodies as q_* functions — pin THOSE shapes,
+        # like bench.py times them
+        fn = e.queries().get(q) or getattr(e, f"q_{q}")
+        p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         return (
             len(re.findall(r"Exchange hashpartitioning", p)),
             len(re.findall(r"Scan parquet|FileScan", p)),
@@ -275,6 +279,24 @@ def test_bpe_tokenize_is_map_only(spark):
     p = plan_str(tokenize_bpe(docs), mode="simple")
     assert "Exchange" not in p
     assert p.count("ArrowEvalPython") == 1
+
+
+def test_dsir_scoring_map_only_and_topk_never_global_sorts(spark):
+    """DSIR plan shape: weight scoring is one Arrow UDF with zero
+    exchanges; selection's top-k is TakeOrderedAndProject (per-partition
+    partial top-k) — never a global Sort — and the kept-flag join
+    broadcasts the k ids."""
+    from ocr_obsidian_spark.operators.dsir import dsir_select, with_dsir_weight
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_str(with_dsir_weight(docs), mode="simple")
+    assert "Exchange" not in p
+    assert p.count("ArrowEvalPython") == 1
+
+    full = plan_str(dsir_select(docs, 10), mode="simple")
+    assert "TakeOrderedAndProject" in full
+    assert "BroadcastHashJoin" in full
+    assert "SortMergeJoin" not in full
 
 
 def test_semdedup_assignment_is_map_only_and_no_cartesian(spark):
