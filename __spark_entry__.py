@@ -608,7 +608,13 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
     both = _semdedup_population(spark, sf)
     cents = sample_centroids(both, 32)
-    return semantic_dedup_labels(both, cents, threshold=0.999)
+    # max_cell_size=None: the oracle computes EXHAUSTIVE within-cell
+    # pairs, so the Spark side must never degrade a cell to chaining —
+    # populations at driver/bench scales are bounded (<= ~2k rows), and
+    # the cap path is pinned by tests/test_semdedup.py instead
+    return semantic_dedup_labels(
+        both, cents, threshold=0.999, max_cell_size=None
+    )
 
 
 def q_embedding_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -3055,7 +3061,7 @@ def oracle_sql() -> dict[str, str]:
                                   ELSE 0 END
             ),
             n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
-            w AS (SELECT doc_id, string_split(norm, ' ') AS ws
+            w AS MATERIALIZED (SELECT doc_id, string_split(norm, ' ') AS ws
                   FROM n WHERE norm <> ''),
             uni AS (SELECT doc_id, ws[i] AS g
                     FROM (SELECT doc_id, ws,
@@ -3342,13 +3348,13 @@ def oracle_sql() -> dict[str, str]:
         # centroid similarity then id. All-float compares have measured
         # margins (q_semantic_dedup docstring); output is integer-only.
         "embedding_dedup": """
-            WITH RECURSIVE pe AS (
+            WITH RECURSIVE pe AS MATERIALIZED (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                 UNION ALL
                 SELECT vec_id + 100000, embedding::DOUBLE[]
                 FROM embeddings WHERE vec_id < 25
             ),
-            se AS (
+            se AS MATERIALIZED (
                 SELECT vec_id, v FROM pe
                 UNION ALL
                 SELECT vec_id + 200000,
@@ -3356,7 +3362,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM pe WHERE vec_id < 25
             ),
             cents AS (SELECT vec_id AS ck, v AS cv FROM se WHERE vec_id < 32),
-            asg AS (
+            asg AS MATERIALIZED (
                 SELECT vec_id, ck, sim FROM (
                     SELECT se.vec_id, c.ck,
                            list_cosine_similarity(se.v, c.cv) AS sim,
@@ -3367,7 +3373,7 @@ def oracle_sql() -> dict[str, str]:
                     FROM se CROSS JOIN cents c
                 ) WHERE rn = 1
             ),
-            p AS (
+            p AS MATERIALIZED (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b
                 FROM se a
                 JOIN se b ON a.vec_id < b.vec_id
@@ -3376,7 +3382,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE aa.ck = ab.ck
                   AND list_cosine_similarity(a.v, b.v) >= 0.999
             ),
-            ed AS (
+            ed AS MATERIALIZED (
                 SELECT id_a AS src, id_b AS dst FROM p
                 UNION
                 SELECT id_b, id_a FROM p

@@ -253,6 +253,12 @@ def run_dedup(args) -> int:
 
     from .operators.substrdedup import drop_duplicated_substrings
 
+    # pure-argparse validation BEFORE any Spark work: a missing
+    # --embeddings must not cost a session start plus a corpus count
+    if args.mode == "semantic" and not args.embeddings:
+        print("dedup --mode semantic requires --embeddings", file=sys.stderr)
+        return 2
+
     spark = _session(args)
     _check_out(args.out, args.overwrite)
     docs = spark.read.parquet(args.docs)
@@ -265,9 +271,6 @@ def run_dedup(args) -> int:
         from .operators.semdedup import semantic_dedup_labels
         from .operators.similarity import kmeans_centroids
 
-        if not args.embeddings:
-            print("dedup --mode semantic requires --embeddings", file=sys.stderr)
-            return 2
         emb = spark.read.parquet(args.embeddings).select(
             F.col(args.id_col),
             F.col(args.vec_col).cast("array<double>").alias(args.vec_col),

@@ -303,16 +303,21 @@ def pair_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    edge_plan = (
+    # edges are consumed more than once whichever path wins (the gate
+    # probe + either the union-find collect or every distributed round)
+    # — truncate FIRST so the upstream candidate pipeline
+    # (signatures/banding/verification) executes exactly once; gating on
+    # the raw plan would re-execute all of it on the over-threshold path
+    edges = _truncate(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
     if driver_max_edges:
-        # single job decides the gate AND fetches the edges: limit(N+1)
-        # either returns the complete (deduped) edge list or proves the
-        # graph is over-threshold with one extra row
-        rows = edge_plan.limit(driver_max_edges + 1).collect()
+        # one cheap job over the truncated blocks decides the gate AND
+        # fetches the edges: limit(N+1) either returns the complete
+        # deduped edge list or proves the graph is over-threshold
+        rows = edges.limit(driver_max_edges + 1).collect()
         if len(rows) <= driver_max_edges:
             parent: dict = {}
 
@@ -338,17 +343,12 @@ def pair_components(
             out = [(n, find(n)) for n in parent]
             schema = T.StructType(
                 [
-                    T.StructField("node", edge_plan.schema[0].dataType, False),
-                    T.StructField("component", edge_plan.schema[0].dataType, False),
+                    T.StructField("node", edges.schema[0].dataType, False),
+                    T.StructField("component", edges.schema[0].dataType, False),
                 ]
             )
             return pairs.sparkSession.createDataFrame(out, schema)
 
-    # edges are joined against EVERY round — truncate them once up front,
-    # or each iteration re-executes the whole upstream candidate pipeline
-    # (signatures/banding/verification), multiplying its cost by the round
-    # count
-    edges = _truncate(edge_plan)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

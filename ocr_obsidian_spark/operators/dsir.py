@@ -147,12 +147,13 @@ def fit_dsir_texts(
     return _model_from_counts(counts(target_texts), counts(raw_texts), buckets, alpha)
 
 
-def _gram_buckets_col(text_col: str, buckets: int) -> F.Column:
-    """array<long> of gram buckets, pure JVM expressions: the split is
-    materialized before the bigram ``transform`` references it (the
-    HOF-capture rule — a non-attribute subtree inside the lambda would
-    re-evaluate per element)."""
-    # caller materializes _ws first; this builds buckets from it
+def _gram_buckets_col(buckets: int) -> F.Column:
+    """array<long> of gram buckets from a pre-materialized ``_ws`` split
+    column, pure JVM expressions: the split MUST be an attribute before
+    the bigram ``transform`` references it (the HOF-capture rule — a
+    non-attribute subtree inside the lambda would re-evaluate per
+    element), which is why this reads ``_ws`` instead of taking a text
+    column."""
     ws = F.col("_ws")
     uni = ws
     bi = F.when(
@@ -192,7 +193,7 @@ def fit_dsir(
         # empty norm splits to [''] — drop it like _tokenize does
         base = base.filter(~((F.size("_ws") == 1) & (F.element_at("_ws", 1) == "")))
         rows = (
-            base.select(F.explode(_gram_buckets_col(text_col, buckets)).alias("b"))
+            base.select(F.explode(_gram_buckets_col(buckets)).alias("b"))
             .groupBy("b")
             .count()
             .collect()
@@ -267,6 +268,7 @@ def dsir_select(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 7,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """One row per input row: ``(id_col, n_grams, logw_micro, selected)``
     — ``selected`` (0/1 long) marks the Gumbel-top-k sample of size
@@ -274,9 +276,18 @@ def dsir_select(
 
     The top-k itself is ``orderBy(rounded key desc, id).limit(k)`` —
     Spark plans TakeOrderedAndProject (per-partition partial top-k, no
-    global sort) — and the flag comes back via a broadcast of k ids."""
-    scored = with_dsir_weight(df, model, text_col=text_col).select(
-        F.col(id_col), "n_grams", "logw_micro"
+    global sort) — and the flag comes back via a broadcast of k ids.
+    The scored table feeds BOTH the top-k branch and the join probe, so
+    it is lineage-truncated once — without the cut each branch would
+    re-run the corpus scan and the gram-hashing UDF (measured: two
+    ArrowEvalPython + four scans in one plan)."""
+    from .xengine import truncate_lineage
+
+    scored = truncate_lineage(
+        with_dsir_weight(df, model, text_col=text_col).select(
+            F.col(id_col), "n_grams", "logw_micro"
+        ),
+        checkpoint,
     )
     key = F.round(
         F.col("logw_micro") / F.lit(1e6) + _gumbel_key(id_col, seed), 6

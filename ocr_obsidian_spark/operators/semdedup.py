@@ -104,17 +104,9 @@ def _truncate(df: DataFrame, checkpoint: str) -> DataFrame:
     ``checkpoint`` contract as ``dedup.pair_components``: ``"local"``
     (fast, executor-resident) or ``"reliable"`` (survives executor loss;
     requires a configured checkpoint dir)."""
-    if checkpoint not in ("local", "reliable"):
-        raise ValueError(f"unknown checkpoint mode: {checkpoint!r}")
-    if checkpoint == "reliable":
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None:
-            raise ValueError(
-                "checkpoint='reliable' requires "
-                "spark.sparkContext.setCheckpointDir(...) to be set"
-            )
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    from .xengine import truncate_lineage
+
+    return truncate_lineage(df, checkpoint)
 
 
 def semantic_duplicate_pairs(

@@ -55,3 +55,29 @@ def sql_str_literal(s: str) -> str:
     escape both engines' parsers share; used by every model_sql_tables
     VALUES emitter."""
     return "'" + s.replace("'", "''") + "'"
+
+
+def truncate_lineage(df, checkpoint: str = "local"):
+    """Eager lineage truncation at a stage boundary — the shared helper
+    behind semdedup's assignment cut, dsir's scored-table cut and
+    pair_components' edge cut. Use it wherever a narrow table would
+    otherwise carry a giant literal expression tree into every
+    downstream operator (planning cost) or be re-executed by an
+    iterative loop / multi-branch consumer (execution cost).
+
+    ``checkpoint``: ``"local"`` (localCheckpoint — fastest; truncated
+    blocks live on executors, so an executor loss mid-job fails the job
+    on a real cluster) or ``"reliable"`` (writes to the session's
+    configured checkpoint dir and survives executor loss — the at-scale
+    setting; requires ``spark.sparkContext.setCheckpointDir``)."""
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"unknown checkpoint mode: {checkpoint!r}")
+    if checkpoint == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint='reliable' requires "
+                "spark.sparkContext.setCheckpointDir(...) to be set"
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -297,6 +297,10 @@ def test_dsir_scoring_map_only_and_topk_never_global_sorts(spark):
     assert "TakeOrderedAndProject" in full
     assert "BroadcastHashJoin" in full
     assert "SortMergeJoin" not in full
+    # the scored table is lineage-truncated once — neither branch may
+    # re-run the corpus scan or the gram-hashing UDF
+    assert "ArrowEvalPython" not in full
+    assert "FileScan" not in full and "Scan parquet" not in full
 
 
 def test_semdedup_assignment_is_map_only_and_no_cartesian(spark):
