@@ -348,6 +348,44 @@ def run_score(args) -> int:
     return 0
 
 
+def run_select(args) -> int:
+    """documents table → DSIR-selected subset (operators/dsir.py): fit
+    hashed-bigram importance ratios of a TARGET corpus against the raw
+    pool (distributed explode+groupBy fit), weight every document with
+    exact integer micro-log sums, and keep the Gumbel-top-k sample drawn
+    without replacement ∝ exp(weight). Output keeps every input column
+    plus ``logw_micro``."""
+    from pyspark.sql import functions as F
+
+    from .operators.dsir import dsir_select, fit_dsir
+    from .sources.io import write_table
+
+    spark = _session(args)
+    _check_out(args.out, args.overwrite)
+    docs = spark.read.parquet(args.docs)
+    target = spark.read.parquet(args.target)
+    n_in = docs.count()
+    model = fit_dsir(
+        target, docs, text_col=args.text_col, buckets=args.buckets
+    )
+    labels = dsir_select(
+        docs,
+        args.keep_k,
+        model,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        seed=args.seed,
+    )
+    kept = docs.join(
+        labels.filter(F.col("selected") == 1).select(args.id_col, "logw_micro"),
+        args.id_col,
+    )
+    write_table(kept, args.out, mode="overwrite" if args.overwrite == "always" else "error")
+    n_out = spark.read.parquet(args.out).count()
+    print(f"select: {n_in} → {n_out} docs (DSIR top-{args.keep_k}) at {args.out}")
+    return 0
+
+
 def run_tokenize(args) -> int:
     """documents table → real tokenizer tokens (greedy WordPiece,
     character-level BPE, or unigram-LM Viterbi — the checked-in fixture
@@ -562,6 +600,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-ppl", type=float, default=None,
                    help="drop docs whose LM perplexity exceeds this")
     p.set_defaults(handler=run_score)
+
+    p = sub.add_parser(
+        "select",
+        help="documents table → DSIR importance-resampled subset.",
+    )
+    _add_common(p)
+    p.add_argument("--docs", required=True, help="raw pool parquet")
+    p.add_argument("--target", required=True,
+                   help="target-distribution documents parquet")
+    p.add_argument("--out", required=True)
+    p.add_argument("--keep-k", type=int, required=True,
+                   help="sample size (Gumbel top-k without replacement)")
+    p.add_argument("--buckets", type=int, default=8192,
+                   help="hashed n-gram feature buckets")
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.set_defaults(handler=run_select)
 
     p = sub.add_parser(
         "webprep",

@@ -130,6 +130,33 @@ def test_dedup_subcommand_semantic_mode(tmp_path, spark):
                  "--mode", "semantic"]) == 2
 
 
+def test_select_subcommand_dsir(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    from ocr_obsidian_spark.operators.dsir import dsir_select, fit_dsir
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    # target distribution = the english half of the pool
+    tgt = str(tmp_path / "target")
+    docs.filter(F.col("lang") == "en").write.parquet(tgt)
+    out = str(tmp_path / "sel")
+    assert main(["select", "--docs", src, "--target", tgt, "--out", out,
+                 "--keep-k", "12"]) == 0
+    res = spark.read.parquet(out)
+    assert res.count() == 12
+    assert "logw_micro" in res.columns and "text" in res.columns
+    # the CLI selection replays the library path exactly (same fit, k, seed)
+    model = fit_dsir(spark.read.parquet(tgt), spark.read.parquet(src))
+    exp = {
+        r["doc_id"]
+        for r in dsir_select(spark.read.parquet(src), 12, model).collect()
+        if r["selected"] == 1
+    }
+    assert {r["doc_id"] for r in res.select("doc_id").collect()} == exp
+
+
 def test_module_entrypoint_help_runs_without_spark():
     out = subprocess.run(
         [sys.executable, "-m", "ocr_obsidian_spark", "--help"],
