@@ -129,6 +129,32 @@ def test_deterministic_across_partitioning(spark):
     assert a == b
 
 
+def test_labels_match_naive_above_expression_k_cutover(spark):
+    """K above IVF_EXPR_MAX_K switches assignment to the Arrow/numpy
+    matmul path (the 100 TB quantizer) — labels must still match the
+    naive replay exactly (same argmin ties, same keep rule)."""
+    from ocr_obsidian_spark.operators.similarity import IVF_EXPR_MAX_K
+
+    k = IVF_EXPR_MAX_K + 6
+    _, cents, rows = _fixture(spark, n_per=3, n_clusters=k, dim=8, seed=11)
+    # the shared fixture plants copies at ids 100+j, which COLLIDE with
+    # cluster-33/34 member ids once n_per*n_clusters > 100 — the copies
+    # are the last three fixture rows; rebase exactly those
+    rows = rows[:-3] + [(1_000_000 + j, rows[j][1]) for j in range(3)]
+    # array<double>: the naive replay computes in float64, and with 76
+    # tight clusters the float32 fixture column would make rounded keep
+    # scores straddle 6-dp boundaries between engines
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["sem_cell"], r["component"], r["kept"])
+        for r in semantic_dedup_labels(df, cents, threshold=0.999).collect()
+    }
+    cell, comp, kept = _naive(rows, cents, 0.999)
+    assert set(got) == set(cell)
+    for i in got:
+        assert got[i] == (cell[i], comp[i], kept[i]), (i, got[i])
+
+
 def test_cell_restriction_blocks_cross_cell_pairs(spark):
     # identical vectors forced into different cells never pair (the
     # SemDeDup contract: comparisons are within-cluster only)
