@@ -78,6 +78,21 @@ def _centroid_sim(centroids: list[list[float]], vec_col: str, cell_col: str) -> 
     return _dot(F.col(vec_col), own) / (_norm(F.col(vec_col)) * own_norm)
 
 
+def _valid_embedding(vec_col: str, dim: int) -> F.Column:
+    """Fail-soft gate for corpus-grade embedding tables: NULL vectors,
+    wrong-dimension vectors and zero-norm vectors (a failed encoder
+    emits all three) are flagged instead of crashing the stage — the
+    zero norm would be an ANSI divide-by-zero in the cosine, and a
+    ragged row kills the vectorized numpy assignment path."""
+    vec = F.col(vec_col)
+    nsq = F.aggregate(
+        F.transform(vec, lambda x: x.cast("double") * x),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return vec.isNotNull() & (F.size(vec) == F.lit(dim)) & (nsq > 0)
+
+
 def assign_semantic_cells(
     df: DataFrame,
     centroids: list[list[float]],
@@ -87,9 +102,34 @@ def assign_semantic_cells(
     sim_col: str = "cent_sim",
 ) -> DataFrame:
     """Map-only: nearest-centroid cell plus the keep-rule score
-    (cosine to the OWN cell's centroid). Zero shuffles."""
-    out = ivf_assign(df, centroids, vec_col=vec_col, out_col=cell_col)
-    return out.withColumn(sim_col, _centroid_sim(centroids, vec_col, cell_col))
+    (cosine to the OWN cell's centroid). Zero shuffles.
+
+    Invalid embeddings (see ``_valid_embedding``) get ``cell = -1`` and
+    a NULL score — they ride through every downstream stage as their own
+    singleton groups (the extract stage's ``parse_ok`` fail-soft
+    pattern: a bad row must never kill a 100 TB job). The cosine and
+    the numpy assignment only ever see a valid or zero-substituted
+    vector, so neither can throw."""
+    dim = len(centroids[0])
+    base = df.withColumn("_valid", _valid_embedding(vec_col, dim)).withColumn(
+        "_safe",
+        F.when(F.col("_valid"), F.col(vec_col)).otherwise(
+            F.array_repeat(F.lit(0.0), dim)
+        ),
+    )
+    out = ivf_assign(base, centroids, vec_col="_safe", out_col=cell_col)
+    # score BEFORE masking the cell: the when() guard keeps the division
+    # off invalid rows, and the raw cell is a real index for all rows
+    out = out.withColumn(
+        sim_col,
+        F.when(
+            F.col("_valid"), _centroid_sim(centroids, "_safe", cell_col)
+        ).otherwise(F.lit(None).cast("double")),
+    ).withColumn(
+        cell_col,
+        F.when(F.col("_valid"), F.col(cell_col)).otherwise(F.lit(-1)),
+    )
+    return out.drop("_valid", "_safe")
 
 
 def _truncate(df: DataFrame, checkpoint: str) -> DataFrame:
@@ -135,7 +175,11 @@ def semantic_duplicate_pairs(
             ).select(F.col(id_col), F.col("_cell")),
             checkpoint,
         )
-    keyed = assigned.select(F.col(id_col), F.col("_cell"))
+    # cell -1 = invalid embeddings (fail-soft): they must never pair —
+    # bucketing them together would join every broken row to every other
+    keyed = assigned.select(F.col(id_col), F.col("_cell")).filter(
+        F.col("_cell") >= 0
+    )
     cands = bucketed_candidate_pairs(keyed, id_col, ["_cell"], max_cell_size)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))

@@ -155,6 +155,34 @@ def test_labels_match_naive_above_expression_k_cutover(spark):
         assert got[i] == (cell[i], comp[i], kept[i]), (i, got[i])
 
 
+def test_invalid_embeddings_fail_soft(spark):
+    """NULL, wrong-dimension and zero-norm vectors (all real failure
+    modes of a corpus-scale encoder) must not kill the stage: they get
+    sem_cell=-1, ride as their own singleton kept groups, never pair
+    with each other, and valid rows dedup normally around them."""
+    from ocr_obsidian_spark.operators.semdedup import drop_semantic_duplicates
+
+    cents = [[10.0, 0.0], [-10.0, 0.0]]
+    rows = [
+        (1, [9.0, 0.1]),
+        (2, None),          # NULL vector
+        (3, [9.0]),         # wrong dimension
+        (4, [0.0, 0.0]),    # zero norm (would divide by zero)
+        (5, [9.0, 0.1]),    # exact copy of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["sem_cell"], r["component"], r["kept"])
+        for r in semantic_dedup_labels(df, cents, threshold=0.999).collect()
+    }
+    assert got[2] == (-1, 2, 1) and got[3] == (-1, 3, 1) and got[4] == (-1, 4, 1)
+    assert got[1] == (0, 1, 1) and got[5] == (0, 1, 0)
+    surv = {r["vec_id"] for r in
+            drop_semantic_duplicates(df, cents, threshold=0.999)
+            .select("vec_id").collect()}
+    assert surv == {1, 2, 3, 4}
+
+
 def test_cell_restriction_blocks_cross_cell_pairs(spark):
     # identical vectors forced into different cells never pair (the
     # SemDeDup contract: comparisons are within-cluster only)
