@@ -487,6 +487,49 @@ def q_quality_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_quality_clf(spark: SparkSession, sf: str) -> DataFrame:
+    """Supervised linear quality classifier (operators/qualityclf.py,
+    the fastText-style LLaMA/GPT-3 filter recipe): exact integer
+    count-linear score under the fixture-trained quantized model, and
+    the integer decision ``score >= 0``. Integer-only output — not even
+    a rounding boundary to defend."""
+    from ocr_obsidian_spark.operators.qualityclf import with_quality_label
+
+    d = _t(spark, sf, "documents", spread=True)
+    return with_quality_label(d).select(
+        "doc_id", "clf_score_micro", "clf_label"
+    )
+
+
+def q_quality_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver fold (round 5, keeps the registry at exactly 50 with the
+    quality classifier added): the feature-ratio stats plus the
+    classifier score/label table, tagged by a variant column with
+    -1/-1.0 sentinels (NULL-free compound-union rule). bench.py still
+    times q_quality_stats and q_quality_clf separately."""
+    stats = q_quality_stats(spark, sf).select(
+        F.lit("stats").alias("variant"),
+        F.col("doc_id"),
+        F.col("alpha_ratio").alias("d1"),
+        F.col("punct_ratio").alias("d2"),
+        F.col("stopword_ratio").alias("d3"),
+        F.col("quality_score").alias("d4"),
+        F.lit(-1).cast("long").alias("v1"),
+        F.lit(-1).cast("long").alias("v2"),
+    )
+    clf = q_quality_clf(spark, sf).select(
+        F.lit("clf").alias("variant"),
+        F.col("doc_id"),
+        F.lit(-1.0).alias("d1"),
+        F.lit(-1.0).alias("d2"),
+        F.lit(-1.0).alias("d3"),
+        F.lit(-1.0).alias("d4"),
+        F.col("clf_score_micro").alias("v1"),
+        F.col("clf_label").alias("v2"),
+    )
+    return stats.unionByName(clf)
+
+
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Cascade language ID (operators/langid.py): the 4-language
     stopword-marker heuristic decides when confident (>= 3 hits, pure
@@ -1651,7 +1694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 (late): unigram-LM tokenizer folded onto the BPE row —
         # q_bpe_tokens / q_unigram_tokens keep separate bench rows
         "bpe_tokens": q_bpe_suite,
-        "quality_stats": q_quality_stats,
+        # round 5 (late): supervised quality classifier folded onto the
+        # stats row — q_quality_stats / q_quality_clf keep bench rows
+        "quality_suite": q_quality_suite,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
@@ -1719,6 +1764,14 @@ from ocr_obsidian_spark.operators.dsir import (  # noqa: E402
 )
 
 _DSIR_LAM = _dsir_sql_lam_table()
+
+# quality classifier fixture model (also data-independent/static): the
+# integer micro weight table and bias for the oracle twin
+from ocr_obsidian_spark.operators.qualityclf import (  # noqa: E402
+    clf_sql_tables as _clf_sql_tables,
+)
+
+_CLF = _clf_sql_tables()
 
 
 def _lang_id_sql() -> str:
@@ -2696,7 +2749,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "subword_tokens": _subword_tokens_sql(),
         "bpe_tokens": _bpe_tokens_sql(),
-        "quality_stats": f"""
+        # stats half: the round-3 ratio features, unchanged. clf half:
+        # the same gram/bucket replay as mix_suite joined to the fixture
+        # classifier's integer micro weight VALUES table + bias — the
+        # score is an exact integer sum and the label an integer
+        # compare, so no float crosses engines at all.
+        "quality_suite": f"""
             WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
             feats AS (
                 SELECT doc_id,
@@ -2709,11 +2767,30 @@ def oracle_sql() -> dict[str, str]:
                            AS n_stop,
                        length(norm) AS raw_len
                 FROM n
-            )
-            SELECT doc_id,
-                   round(n_alpha / nn, 6) AS alpha_ratio,
-                   round(n_punct / nn, 6) AS punct_ratio,
-                   round(n_stop / n_words, 6) AS stopword_ratio,
+            ),
+            w AS MATERIALIZED (SELECT doc_id, string_split(norm, ' ') AS ws
+                  FROM n WHERE norm <> ''),
+            uni AS (SELECT doc_id, ws[i] AS g
+                    FROM (SELECT doc_id, ws,
+                                 unnest(generate_series(1, len(ws))) AS i
+                          FROM w)),
+            bi AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+                   FROM (SELECT doc_id, ws,
+                                unnest(generate_series(1, len(ws) - 1)) AS i
+                         FROM w)),
+            gr AS (SELECT doc_id,
+                          ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS b
+                   FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+            sc AS (SELECT gr.doc_id, CAST(sum(wt.w) AS BIGINT) AS s
+                   FROM gr JOIN {_CLF['weights']} AS wt(b, w) USING (b)
+                   GROUP BY gr.doc_id),
+            clf AS (SELECT d.doc_id,
+                           {_CLF['bias']} + coalesce(sc.s, 0) AS score
+                    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+            SELECT 'stats' AS variant, doc_id,
+                   round(n_alpha / nn, 6) AS d1,
+                   round(n_punct / nn, 6) AS d2,
+                   round(n_stop / n_words, 6) AS d3,
                    round(greatest(
                        CASE WHEN NOT (raw_len >= 20 AND raw_len <= 100000) THEN 0.0
                             ELSE least(1.0,
@@ -2722,8 +2799,14 @@ def oracle_sql() -> dict[str, str]:
                                 + CASE WHEN (nn / n_words) >= 2.0 AND (nn / n_words) <= 12.0
                                        THEN 0.2 ELSE 0.0 END
                                 - CASE WHEN (n_punct / nn) > 0.2 THEN 0.3 ELSE 0.0 END)
-                       END, 0.0), 6) AS quality_score
+                       END, 0.0), 6) AS d4,
+                   CAST(-1 AS BIGINT) AS v1, CAST(-1 AS BIGINT) AS v2
             FROM feats
+            UNION ALL
+            SELECT 'clf', doc_id, -1.0, -1.0, -1.0, -1.0,
+                   score,
+                   CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT)
+            FROM clf
         """,
         "lang_id": _lang_id_sql(),
         "fingerprint": f"""

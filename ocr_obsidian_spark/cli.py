@@ -322,10 +322,12 @@ def run_dedup(args) -> int:
 def run_score(args) -> int:
     """documents table → scored table (the CCNet-style curation step):
     cascade language ID (marker heuristic + char-n-gram NB), KN-bigram
-    LM perplexity, and the composite quality features — all map-only
-    (operators/langid.py, lm.py, textstats.py)."""
+    LM perplexity, the composite quality features, and the supervised
+    fastText-style classifier — all map-only (operators/langid.py,
+    lm.py, textstats.py, qualityclf.py)."""
     from .operators.langid import with_language
     from .operators.lm import with_lm_perplexity
+    from .operators.qualityclf import with_quality_label
     from .operators.textstats import with_quality_score
     from .sources.io import write_table
 
@@ -336,12 +338,16 @@ def run_score(args) -> int:
     out = with_language(docs, text_col=args.text_col)
     out = with_lm_perplexity(out, text_col=args.text_col)
     out = with_quality_score(out, text_col=args.text_col)
-    if args.max_ppl is not None:
+    out = with_quality_label(out, text_col=args.text_col)
+    if args.max_ppl is not None or args.clf_only:
         from pyspark.sql import functions as F
 
-        out = out.filter(
-            F.col("lm_ppl").isNotNull() & (F.col("lm_ppl") <= args.max_ppl)
-        )
+        if args.max_ppl is not None:
+            out = out.filter(
+                F.col("lm_ppl").isNotNull() & (F.col("lm_ppl") <= args.max_ppl)
+            )
+        if args.clf_only:
+            out = out.filter(F.col("clf_label") == 1)
     write_table(out, args.out, mode="overwrite" if args.overwrite == "always" else "error")
     n_out = spark.read.parquet(args.out).count()
     print(f"score: {n_in} → {n_out} docs at {args.out}")
@@ -599,6 +605,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--text-col", default="text")
     p.add_argument("--max-ppl", type=float, default=None,
                    help="drop docs whose LM perplexity exceeds this")
+    p.add_argument("--clf-only", action="store_true",
+                   help="keep only docs the supervised classifier accepts")
     p.set_defaults(handler=run_score)
 
     p = sub.add_parser(

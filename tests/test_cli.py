@@ -237,13 +237,19 @@ def test_score_subcommand(tmp_path, spark):
     assert main(["score", "--docs", src, "--out", out]) == 0
     got = spark.read.parquet(out)
     assert got.count() == 30
-    for col in ("lang_id", "lang_marker", "lm_ppl", "nll_micro", "quality_score"):
+    for col in ("lang_id", "lang_marker", "lm_ppl", "nll_micro",
+                "quality_score", "clf_score_micro", "clf_label", "clf_prob"):
         assert col in got.columns, col
     assert got.filter(F.col("lm_ppl").isNull()).count() == 0
     # the perplexity gate actually filters
     out2 = str(tmp_path / "sc_out2")
     assert main(["score", "--docs", src, "--out", out2, "--max-ppl", "1"]) == 0
     assert spark.read.parquet(out2).count() == 0
+    # the classifier gate keeps exactly the label-1 rows
+    out3 = str(tmp_path / "sc_out3")
+    assert main(["score", "--docs", src, "--out", out3, "--clf-only"]) == 0
+    n_clf = got.filter(F.col("clf_label") == 1).count()
+    assert spark.read.parquet(out3).count() == n_clf
     # overwrite refusal keeps the reference exit-code contract
     assert main(["score", "--docs", src, "--out", out]) == 4
 

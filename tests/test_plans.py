@@ -303,6 +303,16 @@ def test_dsir_scoring_map_only_and_topk_never_global_sorts(spark):
     assert "FileScan" not in full and "Scan parquet" not in full
 
 
+def test_quality_clf_is_map_only(spark):
+    """Classifier scoring: one Arrow UDF, zero exchanges."""
+    from ocr_obsidian_spark.operators.qualityclf import with_quality_label
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_str(with_quality_label(docs), mode="simple")
+    assert "Exchange" not in p
+    assert p.count("ArrowEvalPython") == 1
+
+
 def test_semdedup_assignment_is_map_only_and_no_cartesian(spark):
     """SemDeDup plan shape: cell assignment + centroid similarity are
     pure map-side expressions (zero exchanges, zero python); the full
