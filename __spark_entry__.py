@@ -568,6 +568,75 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return drop_exact_duplicates(_docs_with_dups(spark, sf)).select("doc_id")
 
 
+def _incremental_new_pop(spark: SparkSession, sf: str) -> DataFrame:
+    """A synthetic 'next crawl snapshot' against the documents corpus:
+    exact copies (+100000 of doc_id<25), near-duplicates (+200000 of
+    25<=doc_id<50 with one appended token — shingle Jaccard ≈ n/(n+3),
+    above 0.95 for long docs, below for short ones: both engines compute
+    the same exact Jaccard so the split is consistent), and genuinely
+    new rows (+300000, fresh text)."""
+    d = _t(spark, sf, "documents")
+    copies = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zyxtoken")).alias("text"),
+    )
+    fresh = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.lit("entirely new snapshot document "),
+            F.col("doc_id").cast("string"),
+            F.lit(" qqfresh"),
+        ).alias("text"),
+    )
+    return copies.unionByName(near).unionByName(fresh)
+
+
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental (snapshot-vs-corpus) dedup, dedup.py round 5:
+    ``exact_kept`` = new rows surviving the content-hash anti-join;
+    ``near_match`` = cross-corpus LSH candidates verified at exact
+    shingle-Jaccard ≥ 0.95 (J ≥ 0.95 band-collision probability is
+    1 - (1-J⁴)¹⁶ ≥ 1 - 6.4e-12, so the LSH set equals the oracle's
+    exhaustive set on this population; pinned by test_dedup.py too)."""
+    from ocr_obsidian_spark.operators.dedup import (
+        drop_exact_duplicates_against,
+        near_duplicate_matches_against,
+    )
+
+    new = _incremental_new_pop(spark, sf)
+    existing = _t(spark, sf, "documents").select("doc_id", "text")
+    kept = drop_exact_duplicates_against(new, existing).select(
+        F.lit("exact_kept").alias("variant"),
+        F.col("doc_id").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+    )
+    matches = near_duplicate_matches_against(
+        new, existing, threshold=0.95
+    ).select(
+        F.lit("near_match").alias("variant"),
+        F.col("new_id").alias("a"),
+        F.col("existing_id").alias("b"),
+    )
+    return kept.unionByName(matches)
+
+
+def q_dedup_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver fold (round 5, keeps the registry at exactly 50 with
+    incremental dedup added): the in-corpus exact-dedup survivors plus
+    the snapshot-vs-corpus exact/near results, all integer columns.
+    bench.py still times q_exact_dedup and q_incremental_dedup
+    separately."""
+    exact = q_exact_dedup(spark, sf).select(
+        F.lit("exact").alias("variant"),
+        F.col("doc_id").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+    )
+    return exact.unionByName(q_incremental_dedup(spark, sf))
+
+
 def q_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-duplicate group stats: groups with more than one member."""
     from ocr_obsidian_spark.operators.dedup import exact_duplicate_groups
@@ -1699,7 +1768,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_suite": q_quality_suite,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
-        "exact_dedup": q_exact_dedup,
+        # round 5 (late): incremental snapshot-vs-corpus dedup folded
+        # onto the exact-dedup row — q_exact_dedup / q_incremental_dedup
+        # keep separate bench rows
+        "dedup_suite": q_dedup_suite,
         "dedup_groups": q_dedup_groups,
         "embedding_topk": q_embedding_topk,
         # round 5 (late): SemDeDup labels folded onto the near-dup row —
@@ -2812,14 +2884,85 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": f"""
             SELECT doc_id, md5({_NORM_SQL}) AS fingerprint_md5 FROM documents
         """,
-        "exact_dedup": f"""
+        # exact half: the in-corpus min-id survivors, unchanged.
+        # incremental halves: the synthetic next-snapshot population
+        # (exact copies + one-token-appended near-dups + fresh rows);
+        # exact_kept = norm-key anti-join, near_match = EXHAUSTIVE
+        # cross-corpus 3-shingle Jaccard >= 0.95 (the Spark side is
+        # LSH-restricted; at J >= 0.95 banding misses with p <= 6.4e-12,
+        # so the sets are equal — also pinned by a pytest).
+        "dedup_suite": f"""
             WITH d AS ({_DOCS_WITH_DUPS_SQL}),
             k AS (
                 SELECT min(doc_id) AS doc_id
                 FROM d
                 GROUP BY {_NORM_SQL}
+            ),
+            np AS MATERIALIZED (
+                SELECT doc_id + 100000 AS doc_id, text
+                FROM documents WHERE doc_id < 25
+                UNION ALL
+                SELECT doc_id + 200000, text || ' zyxtoken'
+                FROM documents WHERE doc_id >= 25 AND doc_id < 50
+                UNION ALL
+                SELECT doc_id + 300000,
+                       'entirely new snapshot document ' || doc_id::VARCHAR
+                           || ' qqfresh'
+                FROM documents WHERE doc_id < 10
+            ),
+            exn AS (SELECT DISTINCT {_NORM_SQL} AS nrm FROM documents),
+            kept AS (
+                SELECT np.doc_id FROM np
+                WHERE {_NORM_SQL} NOT IN (SELECT nrm FROM exn)
+            ),
+            nw AS MATERIALIZED (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM np
+            ),
+            ew AS MATERIALIZED (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+                FROM documents
+            ),
+            nsh AS MATERIALIZED (
+                SELECT doc_id,
+                       CASE WHEN len(w) >= 3
+                            THEN list_distinct(list_transform(
+                                range(0, len(w) - 2),
+                                i -> array_to_string(w[i + 1 : i + 3], ' ')))
+                            ELSE [array_to_string(w, ' ')] END AS shs
+                FROM nw
+            ),
+            esh AS MATERIALIZED (
+                SELECT doc_id,
+                       CASE WHEN len(w) >= 3
+                            THEN list_distinct(list_transform(
+                                range(0, len(w) - 2),
+                                i -> array_to_string(w[i + 1 : i + 3], ' ')))
+                            ELSE [array_to_string(w, ' ')] END AS shs
+                FROM ew
+            ),
+            nex AS (SELECT doc_id, unnest(shs) AS sh FROM nsh),
+            eex AS (SELECT doc_id, unnest(shs) AS sh FROM esh),
+            inter AS (
+                SELECT n.doc_id AS new_id, e.doc_id AS existing_id,
+                       count(*) AS n_inter
+                FROM nex n JOIN eex e USING (sh)
+                GROUP BY 1, 2
+            ),
+            nm AS (
+                SELECT i.new_id, i.existing_id
+                FROM inter i
+                JOIN (SELECT doc_id, len(shs) AS n FROM nsh) a
+                  ON a.doc_id = i.new_id
+                JOIN (SELECT doc_id, len(shs) AS n FROM esh) b
+                  ON b.doc_id = i.existing_id
+                WHERE i.n_inter / (a.n + b.n - i.n_inter) >= 0.95
             )
-            SELECT doc_id FROM k
+            SELECT 'exact' AS variant, doc_id AS a, CAST(-1 AS BIGINT) AS b
+            FROM k
+            UNION ALL
+            SELECT 'exact_kept', doc_id, CAST(-1 AS BIGINT) FROM kept
+            UNION ALL
+            SELECT 'near_match', new_id, existing_id FROM nm
         """,
         "dedup_groups": f"""
             WITH d AS ({_DOCS_WITH_DUPS_SQL})

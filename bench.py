@@ -152,8 +152,9 @@ def main() -> None:
         # then SemDeDup semantic dedup labels over embeddings, then
         # DSIR importance-resampling weights + Gumbel top-k
         "bpe_tokens", "unigram_tokens", "semantic_dedup", "dsir",
-        # round 5 (late): fastText-style supervised quality classifier
-        "quality_clf",
+        # round 5 (late): fastText-style supervised quality classifier,
+        # then snapshot-vs-corpus incremental dedup
+        "quality_clf", "incremental_dedup",
     ]
     if only and only != "extract":
         # targeted mode for scaling probes: comma-separated query names,

@@ -528,3 +528,104 @@ def simhash_candidate_pairs(
             F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))).alias("hamming"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (corpus-vs-corpus) dedup: each new crawl snapshot is deduped
+# against the ACCUMULATED corpus without re-deduping the accumulated corpus
+# itself — the standard snapshot-ingest shape (e.g. per-dump CommonCrawl
+# pipelines). The existing side only ever ships narrow derived keys
+# (content hashes / band buckets / shingle arrays), never full rows.
+# ---------------------------------------------------------------------------
+
+
+def drop_exact_duplicates_against(
+    new: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the new rows whose normalized content does NOT already exist
+    in the accumulated corpus. One anti-join on sha2(norm): both sides
+    shuffle only the 64-hex key column (AQE broadcasts the smaller side
+    when it fits)."""
+    key = F.sha2(normalized_text(text_col), 256)
+    seen = existing.select(key.alias("_k")).distinct()
+    return new.withColumn("_k", key).join(seen, "_k", "left_anti").drop("_k")
+
+
+def near_duplicate_matches_against(
+    new: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    threshold: float = 0.95,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """(new_id, existing_id, jaccard) — cross-corpus near-duplicate
+    matches: banded-minhash candidates restricted to NEW×EXISTING bucket
+    co-membership, verified with the exact shingle Jaccard.
+
+    Scale shape: signatures are the map-only minhash path on both sides;
+    the candidate join is an equi-join on (band, bucket); the EXISTING
+    side is capped per bucket (``max_bucket_size`` lowest ids — a
+    mega-bucket of boilerplate would otherwise emit |new∩bucket| × m
+    pairs; the cap is deterministic and reportable via
+    ``bucket_cap_stats`` on the existing bucket keys, never silent).
+    Verification joins each candidate to its two shingle arrays —
+    O(candidates), never all-pairs."""
+    nb = minhash_banded_buckets(new, text_col, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("new_id"), "band", "bucket"
+    )
+    eb = minhash_banded_buckets(
+        existing, text_col, id_col, num_hashes, bands
+    ).select(F.col(id_col).alias("existing_id"), "band", "bucket")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket").orderBy("existing_id")
+        eb = (
+            eb.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
+    cands = nb.join(eb, ["band", "bucket"]).select("new_id", "existing_id").distinct()
+    sa = new.select(
+        F.col(id_col).alias("new_id"), word_shingles(text_col, k).alias("_sa")
+    )
+    sb = existing.select(
+        F.col(id_col).alias("existing_id"), word_shingles(text_col, k).alias("_sb")
+    )
+    return (
+        cands.join(sa, "new_id")
+        .join(sb, "existing_id")
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.size("_sa") + F.size("_sb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "existing_id", "jaccard")
+    )
+
+
+def drop_near_duplicates_against(
+    new: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Keep the new rows with NO verified near-duplicate in the
+    accumulated corpus (kwargs forward to
+    ``near_duplicate_matches_against``)."""
+    matched = (
+        near_duplicate_matches_against(
+            new, existing, text_col, id_col, **kwargs
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new.join(matched, id_col, "left_anti")

@@ -253,3 +253,105 @@ def test_family_min_chunked_path_identical(spark, monkeypatch):
     monkeypatch.setattr(D, "_MINHASH_CHUNK_ELEMS", 8)  # h_chunk = 1
     chunked = {r["doc_id"]: list(r["minhash"]) for r in D.minhash_signatures(df).collect()}
     assert chunked == base
+
+
+def test_incremental_exact_dedup_against_corpus(spark):
+    from ocr_obsidian_spark.operators.dedup import drop_exact_duplicates_against
+
+    existing = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = existing.limit(5).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text"
+    ).unionByName(
+        spark.createDataFrame(
+            [(8000, "a genuinely new document qq"), (8001, None)],
+            "doc_id long, text string",
+        )
+    )
+    kept = drop_exact_duplicates_against(new, existing)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # copies vanish; the fresh row survives; the NULL-text row survives
+    # only if no existing doc normalizes to '' (it collides with empties)
+    assert 8000 in ids and not any(i >= 9000 for i in ids)
+    n_empty = existing.filter(
+        F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))) == ""
+    ).count()
+    assert (8001 in ids) == (n_empty == 0)
+
+
+def test_incremental_near_matches_equal_exhaustive(spark):
+    """The driver oracle's core assumption: on the snapshot population,
+    LSH-restricted verified matches == the exhaustive cross-corpus
+    Jaccard >= 0.95 set (J >= 0.95 band-miss probability <= 6.4e-12)."""
+    import itertools
+
+    from ocr_obsidian_spark.operators.dedup import (
+        near_duplicate_matches_against,
+        word_shingles,
+    )
+
+    existing = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    copies = existing.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = existing.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zyxtoken")).alias("text"),
+    )
+    new = copies.unionByName(near)
+    got = {
+        (r["new_id"], r["existing_id"])
+        for r in near_duplicate_matches_against(new, existing).collect()
+    }
+    nsh = {r["doc_id"]: set(r["s"]) for r in
+           new.select("doc_id", word_shingles().alias("s")).collect()}
+    esh = {r["doc_id"]: set(r["s"]) for r in
+           existing.select("doc_id", word_shingles().alias("s")).collect()}
+    exp = set()
+    for a, b in itertools.product(nsh, esh):
+        inter = len(nsh[a] & esh[b])
+        j = inter / (len(nsh[a]) + len(esh[b]) - inter)
+        if j >= 0.95:
+            exp.add((a, b))
+    assert got == exp
+    # every exact copy matched its origin
+    assert all((100000 + i, i) in got for i in range(10))
+
+
+def test_incremental_drop_near_keeps_unmatched(spark):
+    from ocr_obsidian_spark.operators.dedup import drop_near_duplicates_against
+
+    existing = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    new = existing.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).unionByName(
+        spark.createDataFrame(
+            [(8000, "completely unrelated fresh content qq zz")],
+            "doc_id long, text string",
+        )
+    )
+    kept = drop_near_duplicates_against(new, existing)
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {8000}
+
+
+def test_incremental_near_existing_bucket_cap_is_deterministic(spark):
+    """A mega-bucket on the EXISTING side (many identical boilerplate
+    rows) caps to the lowest ids — matches against the capped members
+    still surface, and the result is stable across partitioning."""
+    from ocr_obsidian_spark.operators.dedup import near_duplicate_matches_against
+
+    text = "the same boilerplate page body repeated verbatim many times"
+    existing = spark.createDataFrame(
+        [(i, text) for i in range(30)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(9000, text)], "doc_id long, text string")
+    got = {
+        (r["new_id"], r["existing_id"])
+        for r in near_duplicate_matches_against(
+            new, existing, max_bucket_size=5
+        ).collect()
+    }
+    assert got == {(9000, i) for i in range(5)}
