@@ -1371,6 +1371,62 @@ def q_blocklist(spark: SparkSession, sf: str) -> DataFrame:
     return kept.select("doc_id", extract_domain().alias("domain"))
 
 
+def q_domain_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """domain_cap + blocklist folded into one driver row (registry
+    round-5: frees a slot for page_rank while both domain gates keep
+    driver-verified rows). Each branch is the UNCHANGED original query
+    body; bench.py still times q_domain_cap / q_blocklist individually."""
+    tag = lambda df, shape: df.select(  # noqa: E731
+        F.lit(shape).alias("shape"), "doc_id", "domain"
+    )
+    return tag(q_domain_cap(spark, sf), "domain_cap").unionByName(
+        tag(q_blocklist(spark, sf), "blocklist")
+    )
+
+
+def _host_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic synthetic host-link graph over the documents
+    hosts (sourceX-K.test, the _docs_with_urls universe): each doc
+    emits two md5-derived out-links from its own host, distinct. Both
+    dst coordinates are md5 buckets so the in-degree distribution is
+    hash-uniform while src hosts follow the corpus host sizes — the
+    oracle rebuilds the same expressions (`_PR_EDGES_SQL`)."""
+    from ocr_obsidian_spark.operators.xengine import md5_bucket
+
+    d = _t(spark, sf, "documents")
+    src = F.concat(
+        F.col("source"), F.lit("-"),
+        (F.col("doc_id") % 7).cast("string"), F.lit(".test"),
+    )
+
+    def dst(salt_a: str, salt_b: str) -> F.Column:
+        key = lambda s: F.concat(  # noqa: E731
+            F.col("doc_id").cast("string"), F.lit(s)
+        )
+        return F.concat(
+            F.lit("src"), md5_bucket(key(salt_a), 20).cast("string"),
+            F.lit("-"), md5_bucket(key(salt_b), 7).cast("string"),
+            F.lit(".test"),
+        )
+
+    return (
+        d.select(src.alias("src"), dst("#a", "#b").alias("dst"))
+        .union(d.select(src.alias("src"), dst("#c", "#d").alias("dst")))
+        .distinct()
+    )
+
+
+def q_page_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-graph PageRank (Common Crawl-style domain ranking): 4
+    integer-exact power iterations at scale 10^12 over the synthetic
+    host-link graph. Every rank is a 64-bit integer on both sides —
+    the oracle replays the identical iteration as unrolled materialized
+    CTEs, so the driver hash compares exact integers, never floats."""
+    from ocr_obsidian_spark.operators.graphrank import page_rank
+
+    return page_rank(_host_edges(spark, sf), iters=4, node_col="host")
+
+
 def q_pack_shards(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget shard packing: whitespace token counts → md5-bucket
     groups → streaming-concat packing at 500 tokens/shard (8 groups so
@@ -1787,7 +1843,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "near_dedup_keep": q_near_dedup_keep,
         "lsh_ann": q_lsh_ann,
-        "domain_cap": q_domain_cap,
+        # round 5 (late): blocklist folded onto the domain-cap row —
+        # q_domain_cap / q_blocklist keep separate bench rows; the freed
+        # slot carries page_rank (integer-exact host-graph ranking)
+        "domain_suite": q_domain_suite,
+        "page_rank": q_page_rank,
         "hash_sample": q_hash_sample,
         # round 5 (late): the driver row runs the Bloom scale path; its
         # exact-SQL oracle pins bloom == exact every round
@@ -1809,7 +1869,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "script_mix": q_script_mix,
         "paragraph_dedup": q_paragraph_dedup,
-        "blocklist": q_blocklist,
         "gopher_flags": q_gopher_flags,
         "gopher_rep": q_gopher_rep,
         "c4_filter": q_c4_filter,
@@ -1910,6 +1969,39 @@ def _lang_id_sql() -> str:
         LEFT JOIN nb ON n.doc_id = nb.doc_id
         LEFT JOIN nm ON n.doc_id = nm.doc_id
     """
+
+
+def _pr_md5_bucket_sql(salt: str, buckets: int) -> str:
+    """DuckDB twin of xengine.md5_bucket over doc_id || salt."""
+    return (
+        f"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 8))"
+        f"::BIGINT % {buckets}"
+    )
+
+
+def _page_rank_sql() -> str:
+    """The page_rank oracle: rebuild _host_edges' synthetic graph with
+    the shared md5-bucket twin, then replay the SAME integer power
+    iteration via graphrank.page_rank_oracle_sql (unrolled materialized
+    CTEs — exact 64-bit arithmetic, no float ever hashed)."""
+    from ocr_obsidian_spark.operators.graphrank import page_rank_oracle_sql
+
+    src = "source || '-' || CAST(doc_id % 7 AS VARCHAR) || '.test'"
+    dst_ab = (
+        f"'src' || CAST({_pr_md5_bucket_sql('#a', 20)} AS VARCHAR)"
+        f" || '-' || CAST({_pr_md5_bucket_sql('#b', 7)} AS VARCHAR) || '.test'"
+    )
+    dst_cd = (
+        f"'src' || CAST({_pr_md5_bucket_sql('#c', 20)} AS VARCHAR)"
+        f" || '-' || CAST({_pr_md5_bucket_sql('#d', 7)} AS VARCHAR) || '.test'"
+    )
+    edges_sql = (
+        "SELECT DISTINCT src, dst FROM ("
+        f"SELECT {src} AS src, {dst_ab} AS dst FROM documents"
+        " UNION ALL "
+        f"SELECT {src} AS src, {dst_cd} AS dst FROM documents)"
+    )
+    return page_rank_oracle_sql(edges_sql, iters=4, node_col="host")
 
 
 def _lm_ppl_sql() -> str:
@@ -3060,17 +3152,24 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_md5_sql(),
         "lsh_ann": _lsh_ann_sql(),
         "lm_ppl": _lm_ppl_sql(),
-        "domain_cap": f"""
-            WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
-            d AS (SELECT doc_id, url,
-                         lower(regexp_extract(url,
-                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS domain
-                  FROM u),
+        "domain_suite": f"""
+            WITH u AS MATERIALIZED (
+                SELECT doc_id, {_URL_SQL} AS url FROM documents),
+            d AS MATERIALIZED (
+                SELECT doc_id, url,
+                       lower(regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS domain
+                FROM u),
             r AS (SELECT doc_id, domain,
                          row_number() OVER (PARTITION BY domain ORDER BY url) AS rn
                   FROM d)
-            SELECT doc_id, domain FROM r WHERE rn <= 2
+            SELECT 'domain_cap' AS shape, doc_id, domain FROM r WHERE rn <= 2
+            UNION ALL
+            SELECT 'blocklist' AS shape, doc_id, domain FROM d
+            WHERE NOT (domain = 'src0-0.test' OR domain LIKE '%.src0-0.test'
+                    OR domain = 'src1-3.test' OR domain LIKE '%.src1-3.test')
         """,
+        "page_rank": _page_rank_sql(),
         "hash_sample": f"""
             WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
             SELECT doc_id FROM u
@@ -3257,17 +3356,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE dup) AS BIGINT)
                        AS n_lines_dropped
             FROM m GROUP BY doc_id
-        """,
-        "blocklist": f"""
-            WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
-            d AS (SELECT doc_id,
-                         lower(regexp_extract(url,
-                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
-                             AS domain
-                  FROM u)
-            SELECT doc_id, domain FROM d
-            WHERE NOT (domain = 'src0-0.test' OR domain LIKE '%.src0-0.test'
-                    OR domain = 'src1-3.test' OR domain LIKE '%.src1-3.test')
         """,
         # mix half: the round-3 md5-bucket keep set, unchanged. dsir
         # half: grams (unigrams + space-joined bigrams) via the

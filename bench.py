@@ -153,8 +153,10 @@ def main() -> None:
         # DSIR importance-resampling weights + Gumbel top-k
         "bpe_tokens", "unigram_tokens", "semantic_dedup", "dsir",
         # round 5 (late): fastText-style supervised quality classifier,
-        # then snapshot-vs-corpus incremental dedup
-        "quality_clf", "incremental_dedup",
+        # then snapshot-vs-corpus incremental dedup, then integer-exact
+        # host-graph PageRank (4 power iterations over the synthetic
+        # host-link graph)
+        "quality_clf", "incremental_dedup", "page_rank",
     ]
     if only and only != "extract":
         # targeted mode for scaling probes: comma-separated query names,

@@ -334,3 +334,33 @@ def test_semdedup_assignment_is_map_only_and_no_cartesian(spark):
 
     full = plan_str(semantic_dedup_labels(emb, cents), mode="simple")
     assert "CartesianProduct" not in full and "BroadcastNestedLoop" not in full
+
+
+def test_page_rank_iteration_plan_is_truncated_and_narrow(spark):
+    """page_rank plan shape: lineage is truncated every iteration, so
+    the FINAL action's plan contains exactly one iteration's work —
+    one src-key equi-join + one dst groupBy + one left join back to
+    nodes — over checkpointed scans, regardless of iteration count.
+    Without the truncation the plan would nest one full join/agg stack
+    per iteration (the round-5 semdedup lesson: iterative loops must
+    cut the DataFrames they re-join or planning cost compounds)."""
+    import re
+
+    from ocr_obsidian_spark.operators.graphrank import page_rank
+
+    edges = spark.createDataFrame(
+        [(f"h{i % 13}", f"h{(i * 7 + 3) % 13}") for i in range(200)],
+        ["src", "dst"],
+    )
+    p2 = plan_str(page_rank(edges, iters=2), mode="simple")
+    p6 = plan_str(page_rank(edges, iters=6), mode="simple")
+    # iteration-count-independent plan size: the 6-iter final plan is
+    # the same shape as the 2-iter one (same join/agg node counts)
+    for marker in ("SortMergeJoin", "BroadcastHashJoin", "HashAggregate",
+                   "Exchange"):
+        assert p2.count(marker) == p6.count(marker), marker
+    # and it is genuinely one iteration deep: at most one equi-join per
+    # side family and no python anywhere
+    assert "Python" not in p6 and "CartesianProduct" not in p6
+    joins = len(re.findall(r"SortMergeJoin|BroadcastHashJoin", p6))
+    assert joins <= 2, p6
