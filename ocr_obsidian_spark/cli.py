@@ -410,11 +410,33 @@ def run_tokenize(args) -> int:
     _check_out(args.out, args.overwrite)
     docs = spark.read.parquet(args.docs)
     n_in = docs.count()
+    fit = getattr(args, "fit_on_corpus", False)
+    if fit and args.tokenizer == "wordpiece":
+        raise ConfigError(
+            "--fit-on-corpus supports bpe/unigram (WordPiece vocabs come "
+            "from a trained BERT-style pipeline; pass one via config)"
+        )
     if args.tokenizer == "bpe":
-        toks = tokenize_bpe(docs, text_col=args.text_col)
+        if fit:
+            from .operators.tokenize import train_bpe_on_corpus
+
+            merges = train_bpe_on_corpus(
+                docs, text_col=args.text_col, max_words=args.fit_max_words
+            )
+            toks = tokenize_bpe(docs, merges=merges, text_col=args.text_col)
+        else:
+            toks = tokenize_bpe(docs, text_col=args.text_col)
         tokens_col = "bpe_tokens"
     elif args.tokenizer == "unigram":
-        toks = tokenize_unigram(docs, text_col=args.text_col)
+        if fit:
+            from .operators.tokenize import train_unigram_on_corpus
+
+            costs = train_unigram_on_corpus(
+                docs, text_col=args.text_col, max_words=args.fit_max_words
+            )
+            toks = tokenize_unigram(docs, costs=costs, text_col=args.text_col)
+        else:
+            toks = tokenize_unigram(docs, text_col=args.text_col)
         tokens_col = "unigram_tokens"
     else:
         toks = tokenize_wordpiece(
@@ -665,6 +687,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pack-seq-len", type=int, default=0,
                    help="chop token streams into N-token training sequences (0 = off)")
     p.add_argument("--pack-groups", type=int, default=64)
+    p.add_argument("--fit-on-corpus", action="store_true",
+                   help="bpe/unigram: fit the merge/cost table on the input "
+                        "corpus itself (distributed word histogram + "
+                        "deterministic driver trainer) instead of the "
+                        "fixture tables")
+    p.add_argument("--fit-max-words", type=int, default=1_000_000,
+                   help="histogram bound for --fit-on-corpus (top-K words "
+                        "by count desc, word asc)")
     p.set_defaults(handler=run_tokenize)
 
     p = sub.add_parser("smoke", help="chain all five stages on fixtures.")

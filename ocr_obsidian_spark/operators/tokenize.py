@@ -568,3 +568,99 @@ def tokenize_unigram(
         .withColumn("unigram_cost_micro", F.col("_ug.cost"))
         .drop("_ug")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed tokenizer training — the corpus-scale fit path for both
+# trainers above. Tokenizer training at web scale is one corpus-wide word
+# histogram (the vocabulary grows sublinearly with corpus size — Heaps'
+# law — so the HISTOGRAM fits a driver even when the corpus is 100 TB;
+# GPT-2's BPE was fit this way: count words once, train on the counts).
+# The Spark half is a single explode+groupBy with map-side partial
+# aggregation; the driver half is the SAME deterministic trainer the
+# fixtures use, so distributed fit == local fit is pinned by construction
+# and by tests (the DSIR distributed-fit precedent).
+# ---------------------------------------------------------------------------
+
+
+def corpus_word_histogram(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_words: int | None = None,
+) -> DataFrame:
+    """(word, count:long) over the corpus, using EXACTLY the tokenizer
+    normalization (shared textstats norm: lowercase + whitespace
+    collapse) and single-space word split, so a vocabulary fit on this
+    histogram agrees with what the encoders will see.
+
+    ``min_count`` prunes the hapax tail BEFORE any driver collect (at
+    web scale most distinct words occur once — typos, ids, hashes — and
+    no trainer keeps them). ``max_words`` keeps the top-K by
+    (count desc, word asc) — a deterministic total order, so the kept
+    set is reproducible across runs and parallelism. Plan shape: one
+    hash exchange for the groupBy; the top-K is a TakeOrdered, not a
+    global sort."""
+    words = (
+        df.select(F.explode(F.split(_norm(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    hist = words.groupBy("word").agg(F.count(F.lit(1)).alias("count"))
+    if min_count > 1:
+        hist = hist.where(F.col("count") >= min_count)
+    if max_words is not None:
+        hist = hist.orderBy(F.col("count").desc(), F.col("word")).limit(max_words)
+    return hist
+
+
+def _collect_histogram(
+    df: DataFrame, text_col: str, min_count: int, max_words: int | None
+) -> dict[str, int]:
+    hist = corpus_word_histogram(
+        df, text_col=text_col, min_count=min_count, max_words=max_words
+    )
+    return {r["word"]: r["count"] for r in hist.collect()}
+
+
+def train_bpe_on_corpus(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 120,
+    min_count: int = 2,
+    hist_min_count: int = 1,
+    max_words: int | None = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Fit a BPE merge table on a corpus DataFrame: distributed word
+    histogram (bounded by ``max_words``/``hist_min_count`` so the
+    collect is vocabulary-sized, never corpus-sized) + the deterministic
+    driver-side Sennrich trainer. Equals ``train_bpe(Counter(all
+    normalized text.split()))`` whenever the bounds don't bind — pinned
+    by tests."""
+    return train_bpe(
+        _collect_histogram(df, text_col, hist_min_count, max_words),
+        n_merges=n_merges,
+        min_count=min_count,
+    )
+
+
+def train_unigram_on_corpus(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    min_count: int = 2,
+    n_iters: int = 3,
+    hist_min_count: int = 1,
+    max_words: int | None = 1_000_000,
+) -> dict[str, int]:
+    """Fit a unigram-LM cost table on a corpus DataFrame: same
+    bounded-histogram shape as ``train_bpe_on_corpus``, driver-side
+    hard-EM trainer. Equals the local fit when the bounds don't bind."""
+    return train_unigram(
+        _collect_histogram(df, text_col, hist_min_count, max_words),
+        max_piece_len=max_piece_len,
+        min_count=min_count,
+        n_iters=n_iters,
+    )

@@ -317,3 +317,60 @@ def test_tokenize_subcommand_unigram(tmp_path, spark):
     assert got.filter(
         (F.length(F.trim("text")) > 0) & (F.col("unigram_cost_micro") <= 0)
     ).count() == 0
+
+
+def test_tokenize_fit_on_corpus(tmp_path, spark):
+    """--fit-on-corpus trains the bpe/unigram table on the input itself
+    (distributed histogram + driver trainer) and must equal tokenizing
+    with an explicitly corpus-fit table; wordpiece fit fails closed."""
+    from pyspark.sql import functions as F
+
+    from ocr_obsidian_spark.operators.tokenize import (
+        tokenize_bpe,
+        train_bpe_on_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(16)
+    src = str(tmp_path / "fit_docs")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "fit_bpe")
+    assert main([
+        "tokenize", "--docs", src, "--out", out,
+        "--tokenizer", "bpe", "--fit-on-corpus",
+    ]) == 0
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in spark.read.parquet(out).select("doc_id", "bpe_tokens").collect()
+    }
+    merges = train_bpe_on_corpus(spark.read.parquet(src))
+    want = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in tokenize_bpe(spark.read.parquet(src), merges=merges)
+        .select("doc_id", "bpe_tokens").collect()
+    }
+    assert got == want
+    # a corpus-fit table differs from the fixture table on real text
+    assert len(merges) > 0
+
+    out_u = str(tmp_path / "fit_unigram")
+    assert main([
+        "tokenize", "--docs", src, "--out", out_u,
+        "--tokenizer", "unigram", "--fit-on-corpus",
+    ]) == 0
+    u = spark.read.parquet(out_u)
+    # concat(tokens) per doc reconstructs each normalized word stream
+    joined = u.select(
+        F.concat_ws("", "unigram_tokens").alias("cat"),
+        F.regexp_replace(
+            F.lower(F.trim(F.regexp_replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                "[ \\t\\n\\x0B\\f\\r]+", " "))), " ", ""
+        ).alias("norm_nospace"),
+    )
+    assert joined.filter(F.col("cat") != F.col("norm_nospace")).count() == 0
+
+    assert main([
+        "tokenize", "--docs", src, "--out", str(tmp_path / "fit_wp"),
+        "--fit-on-corpus",
+    ]) == 3

@@ -407,3 +407,80 @@ def test_tokenize_unigram_plan_is_map_only(spark):
     df = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
     plan = tokenize_unigram(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_distributed_fit_equals_local_fit(spark):
+    """train_*_on_corpus == the local trainer over the same corpus when
+    the histogram bounds don't bind (the DSIR distributed-fit pattern)."""
+    from collections import Counter
+
+    from ocr_obsidian_spark.operators.tokenize import (
+        train_bpe,
+        train_bpe_on_corpus,
+        train_unigram,
+        train_unigram_on_corpus,
+    )
+
+    texts = [
+        "The banana DATA   was packed over and over",
+        "the tokenizer trained on\tthe training data corpus",
+        "aaaa abab banana bananas better letter",
+        None,
+        "",
+        "Settle LITTLE widest pages  were rendered",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"]).repartition(7)
+    local_counts = Counter(
+        w for t in texts for w in (t or "").lower().split()
+    )
+    assert train_bpe_on_corpus(df, n_merges=40) == train_bpe(
+        local_counts, n_merges=40
+    )
+    assert train_unigram_on_corpus(df) == train_unigram(local_counts)
+
+
+def test_word_histogram_bounds_and_determinism(spark):
+    from ocr_obsidian_spark.operators.tokenize import corpus_word_histogram
+
+    rows = [("aa aa aa bb bb cc dd",), ("bb cc xx",)]
+    df = spark.createDataFrame(rows, ["text"])
+    full = {
+        r["word"]: r["count"] for r in corpus_word_histogram(df).collect()
+    }
+    assert full == {"aa": 3, "bb": 3, "cc": 2, "dd": 1, "xx": 1}
+    pruned = {
+        r["word"]: r["count"]
+        for r in corpus_word_histogram(df, min_count=2).collect()
+    }
+    assert pruned == {"aa": 3, "bb": 3, "cc": 2}
+    # top-3: count desc, word asc — 'aa' and 'bb' tie at 3, then 'cc'
+    top = [
+        r["word"]
+        for r in corpus_word_histogram(df, max_words=3)
+        .orderBy("word")
+        .collect()
+    ]
+    assert sorted(top) == ["aa", "bb", "cc"]
+    # deterministic across parallelism
+    top16 = {
+        r["word"]
+        for r in corpus_word_histogram(df.repartition(16), max_words=3).collect()
+    }
+    assert top16 == set(top)
+
+
+def test_word_histogram_single_shuffle_plan(spark):
+    """One hash exchange (the groupBy); the top-K is TakeOrdered, not a
+    global sort exchange."""
+    from ocr_obsidian_spark.operators.tokenize import corpus_word_histogram
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = (
+        corpus_word_histogram(df, max_words=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
