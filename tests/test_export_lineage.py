@@ -209,3 +209,27 @@ def test_run_extract_job_script_rerun_idempotent(spark, pages_df, tmp_path, monk
     corpus, _ = split_extract_lineage(read_output(spark, out))
     assert corpus.count() == pages_df.count()
     assert stopped["n"] == 2
+
+
+def test_write_table_iceberg_gate_and_format_validation(spark, corpus, tmp_path):
+    """The iceberg sink goes through the V2 writeTo path; in this
+    sandbox (no iceberg runtime/catalog) the gate must fail with an
+    ACTIONABLE configuration error naming the catalog knob, not a raw
+    CATALOG_NOT_FOUND stack; unknown formats fail closed either way."""
+    import pytest as _pytest
+
+    from ocr_obsidian_spark.sources.io import read_table, write_table
+
+    df = corpus.select("url", "extracted_text")
+    with _pytest.raises(RuntimeError, match="spark.sql.catalog"):
+        write_table(df, "ice.db.tbl", format="iceberg")
+    with _pytest.raises(RuntimeError, match="spark.sql.catalog"):
+        write_table(df, "ice.db.tbl", mode="overwrite", format="iceberg")
+    with _pytest.raises(ValueError, match="unknown table format"):
+        write_table(df, str(tmp_path / "x"), format="orc")
+    with _pytest.raises(ValueError, match="unknown table format"):
+        read_table(spark, "x", format="orc")
+    with _pytest.raises(RuntimeError, match="spark.sql.catalog"):
+        read_table(spark, "ice.db.tbl", format="iceberg")
+    with _pytest.raises(ValueError, match="unknown mode"):
+        write_table(df, "ice.db.tbl", mode="bogus", format="iceberg")
