@@ -469,6 +469,45 @@ def run_tokenize(args) -> int:
     return 0
 
 
+def run_rank(args) -> int:
+    """pages table (url, html) → host-level link-rank table
+    (operators/graphrank.py: distinct host edges from hrefs, then
+    integer-exact PageRank — the Common Crawl-style domain-rank prior);
+    optionally join host_rank_i onto a docs table by each doc's url
+    host. The join is left UNHINTED: the host table is tiny relative to
+    the corpus for ordinary crawls (AQE broadcasts it), but a 10^8-host
+    web graph may exceed broadcast limits — AQE picks from real sizes."""
+    from pyspark.sql import functions as F
+
+    from .operators.graphrank import host_link_edges, page_rank
+    from .sources.io import write_table
+
+    spark = _session(args)
+    _check_out(args.out, args.overwrite)
+    pages = spark.read.parquet(args.pages)
+    edges = host_link_edges(
+        pages, url_col=args.url_col, html_col=args.html_col
+    )
+    ranks = page_rank(
+        edges, iters=args.iters, node_col="host", rank_col="host_rank_i"
+    )
+    if args.attach_docs:
+        docs = spark.read.parquet(args.attach_docs)
+        host = F.lower(
+            F.regexp_extract(F.col(args.url_col), r"(?i)^[a-z]+://([^/]+)", 1)
+        )
+        out = docs.withColumn("host", host).join(ranks, "host", "left")
+    else:
+        out = ranks
+    write_table(
+        out, args.out, mode="overwrite" if args.overwrite == "always" else "error"
+    )
+    n = spark.read.parquet(args.out).count()
+    what = "ranked docs" if args.attach_docs else "hosts"
+    print(f"rank: {n} {what} at {args.out}")
+    return 0
+
+
 def run_webprep(args) -> int:
     """documents table → prepared table: optional per-domain cap →
     deterministic hash sample → decontamination vs a benchmark table →
@@ -668,6 +707,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shingle-k", type=int, default=8)
     p.add_argument("--scrub-pii", action="store_true")
     p.set_defaults(handler=run_webprep)
+
+    p = sub.add_parser(
+        "rank",
+        help="pages (url, html) → host link-rank table (integer PageRank).",
+    )
+    _add_common(p)
+    p.add_argument("--pages", required=True, help="input pages parquet (url, html)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--url-col", default="url")
+    p.add_argument("--html-col", default="html")
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--attach-docs", default=None,
+                   help="optional docs parquet: left-join host_rank_i onto it "
+                        "by each doc's url host instead of writing the host table")
+    p.set_defaults(handler=run_rank)
 
     p = sub.add_parser(
         "tokenize",

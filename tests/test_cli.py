@@ -374,3 +374,39 @@ def test_tokenize_fit_on_corpus(tmp_path, spark):
         "tokenize", "--docs", src, "--out", str(tmp_path / "fit_wp"),
         "--fit-on-corpus",
     ]) == 3
+
+
+def test_rank_subcommand(tmp_path, spark):
+    """pages → host rank table; --attach-docs joins host_rank_i onto a
+    docs table by url host. Rank order must reflect in-link weight."""
+    rows = [
+        ("https://a.test/1", b'<a href="https://b.test/x">b</a>'),
+        ("https://a.test/2", b'<a href="https://b.test/y">b</a>'),
+        ("https://c.test/1", b'<a href="https://b.test/z">b</a> '
+                             b'<a href="https://a.test/">a</a>'),
+        ("https://b.test/1", b"<p>no links</p>"),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "html"])
+    src = str(tmp_path / "rank_pages")
+    pages.write.parquet(src)
+
+    out = str(tmp_path / "hosts")
+    assert main(["rank", "--pages", src, "--out", out]) == 0
+    got = {r["host"]: r["host_rank_i"] for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"a.test", "b.test", "c.test"}
+    # b.test is linked from both other hosts — it must out-rank them
+    assert got["b.test"] > got["a.test"] > got["c.test"]
+
+    docs = spark.createDataFrame(
+        [(1, "https://b.test/doc"), (2, "https://nolinks.test/doc")],
+        ["doc_id", "url"],
+    )
+    dsrc = str(tmp_path / "rank_docs")
+    docs.write.parquet(dsrc)
+    out2 = str(tmp_path / "ranked_docs")
+    assert main([
+        "rank", "--pages", src, "--out", out2, "--attach-docs", dsrc,
+    ]) == 0
+    joined = {r["doc_id"]: r["host_rank_i"] for r in spark.read.parquet(out2).collect()}
+    assert joined[1] == got["b.test"]
+    assert joined[2] is None  # host absent from the link graph: left join
