@@ -1030,15 +1030,26 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 def q_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
     """The driver registry row for decontamination runs the BLOOM scale
     path (distributed bitset build -> map-side probe -> exact confirm
-    join) against the UNCHANGED exact-semantics SQL oracle — a driver-
-    visible proof that the Bloom pre-filter changes the plan shape, not
-    the result. bench.py keeps timing q_decontaminate (the exact
-    broadcast path) so its floor row stays definition-comparable."""
-    from ocr_obsidian_spark.operators.webprep import decontaminate
+    join) against an exact-semantics SQL oracle — a driver-visible proof
+    that the Bloom pre-filter changes the plan shape, not the result.
+    Round-5 upgrade: the row now emits the per-doc contamination REPORT
+    (distinct-shingle totals + contaminated counts — the published
+    threshold-decontamination measure) plus the integer kept flag, whose
+    1-rows are exactly decontaminate()'s keep set (pinned by the
+    max_overlap_pct=0 equivalence test). bench.py keeps timing
+    q_decontaminate (the exact broadcast path) so its floor row stays
+    definition-comparable."""
+    from ocr_obsidian_spark.operators.webprep import contamination_report
 
     d = _t(spark, sf, "documents", spread=True)
     bench = d.filter(F.col("doc_id") < 10)
-    return decontaminate(d, bench, method="bloom").select("doc_id")
+    rep = contamination_report(d, bench, method="bloom")
+    return rep.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        (F.col("n_contaminated") == 0).cast("long").alias("kept"),
+    )
 
 
 def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
@@ -3175,19 +3186,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM u
             WHERE ('0x' || substr(md5(coalesce(url, '')), 1, 8))::BIGINT % 100 < 37
         """,
+        # sh is DISTINCT (doc_id, shingle) — word_shingles dedups within
+        # a doc, so the report counts distinct shingles on both sides;
+        # sh is referenced three times -> AS MATERIALIZED (DuckDB CTE rule)
         "decontaminate": f"""
             WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
             tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM n),
-            sh AS (SELECT doc_id,
-                          array_to_string(list_slice(toks, i, i + 7), ' ') AS shingle
-                   FROM (SELECT doc_id, toks,
-                                unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i
-                         FROM tk)),
+            sh AS MATERIALIZED (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(toks, i, i + 7), ' ') AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i
+                      FROM tk)),
             bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
-            bad AS (SELECT DISTINCT doc_id FROM sh
-                    WHERE shingle IN (SELECT shingle FROM bench))
-            SELECT doc_id FROM documents
-            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+            tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+            hit AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM sh
+                    WHERE shingle IN (SELECT shingle FROM bench)
+                    GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(t.n_shingles AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+                   CAST(CASE WHEN COALESCE(h.n_contaminated, 0) = 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS kept
+            FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
         """,
         "repetition_stats": f"""
             WITH n AS (SELECT doc_id, coalesce(text, '') AS raw,

@@ -533,10 +533,19 @@ def run_webprep(args) -> int:
         out = hash_sample(out, args.sample_pct, key_col=key)
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
-        out = decontaminate(
-            out, bench, text_col=args.text_col, id_col=args.id_col,
-            k=args.shingle_k,
-        )
+        pct = getattr(args, "max_overlap_pct", None)
+        if pct is not None:
+            from .operators.webprep import decontaminate_by_overlap
+
+            out = decontaminate_by_overlap(
+                out, bench, max_overlap_pct=pct, text_col=args.text_col,
+                id_col=args.id_col, k=args.shingle_k,
+            )
+        else:
+            out = decontaminate(
+                out, bench, text_col=args.text_col, id_col=args.id_col,
+                k=args.shingle_k,
+            )
     if args.scrub_pii:
         out = scrub_pii(out, text_col=args.text_col)
     write_table(out, args.out, mode="overwrite" if args.overwrite == "always" else "error")
@@ -705,6 +714,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--benchmark", default=None,
                    help="benchmark/eval parquet to decontaminate against")
     p.add_argument("--shingle-k", type=int, default=8)
+    p.add_argument("--max-overlap-pct", type=int, default=None,
+                   help="threshold decontamination: drop docs whose distinct-"
+                        "shingle overlap with the benchmark exceeds this "
+                        "percent (default: drop on ANY shared shingle)")
     p.add_argument("--scrub-pii", action="store_true")
     p.set_defaults(handler=run_webprep)
 

@@ -666,6 +666,93 @@ def decontaminate(
     return docs.join(contaminated, id_col, "left_anti")
 
 
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    method: str = "exact",
+    bits_log2: int = 23,
+    n_hashes: int = 6,
+) -> DataFrame:
+    """Per-document contamination accounting instead of a binary drop:
+    (id, n_shingles, n_contaminated) over each doc's DISTINCT word
+    k-shingles (word_shingles dedups within a doc, so the counts are the
+    standard 'fraction of the document's n-grams seen in the eval set'
+    measure — the published large-LM practice is to threshold on this
+    overlap rather than drop on any single shared n-gram, because long
+    documents share boilerplate n-grams with eval sets incidentally).
+
+    Both methods return IDENTICAL counts (bloom false positives are
+    removed by the exact confirm join; pinned by tests and the driver
+    oracle). Scale shape: totals are one narrow groupBy (only the id
+    rides past the explode); hits count the confirmed contaminated
+    occurrences; the final join is narrow-table vs narrow-table."""
+    from .dedup import word_shingles
+
+    bench = benchmark_shingles(benchmark, text_col=text_col, k=k)
+    doc_shingles = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
+    )
+    if method == "bloom":
+        bits = build_shingle_bloom(
+            benchmark, text_col=text_col, k=k,
+            bits_log2=bits_log2, n_hashes=n_hashes,
+        )
+        m = len(bits) * 64
+        cand = doc_shingles.where(
+            _bloom_hit_udf(bits)(_bloom_positions(m, n_hashes))
+        )
+        hits_src = cand.join(bench, "shingle", "left_semi")
+    elif method == "exact":
+        hits_src = doc_shingles.join(F.broadcast(bench), "shingle", "left_semi")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    totals = doc_shingles.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = hits_src.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+    )
+
+
+def decontaminate_by_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    max_overlap_pct: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    method: str = "exact",
+    bits_log2: int = 23,
+    n_hashes: int = 6,
+) -> DataFrame:
+    """Threshold decontamination: drop documents whose DISTINCT-shingle
+    overlap with the benchmark exceeds ``max_overlap_pct`` percent. The
+    comparison is pure integers (n_contaminated * 100 > pct *
+    n_shingles) so the keep set is bit-identical across engines — no
+    float boundary. ``max_overlap_pct=0`` reproduces ``decontaminate``'s
+    any-shared-shingle semantics exactly."""
+    if not (0 <= max_overlap_pct < 100):
+        raise ValueError("max_overlap_pct must be in [0, 100)")
+    rep = contamination_report(
+        docs, benchmark, text_col=text_col, id_col=id_col, k=k,
+        method=method, bits_log2=bits_log2, n_hashes=n_hashes,
+    )
+    bad = rep.where(
+        F.col("n_contaminated") * 100 > F.lit(max_overlap_pct) * F.col("n_shingles")
+    ).select(id_col)
+    return docs.join(bad, id_col, "left_anti")
+
+
 def drop_duplicated_lines(
     df: DataFrame,
     *,

@@ -575,3 +575,93 @@ class TestPackTokenSequences:
 
         with pytest.raises(ValueError):
             pack_token_sequences(self._df(spark, []), seq_len=0)
+
+
+def test_contamination_report_counts_distinct_shingles(spark):
+    from ocr_obsidian_spark.operators.webprep import contamination_report
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [
+        (0, bench_text),                       # 2 shingles, both in bench
+        (1, "prefix words then " + bench_text + " trailing tail"),
+        (2, "alpha bravo charlie delta echo foxtrot golf"),  # <8 words of overlap
+        (3, "completely unrelated text about something else entirely here now"),
+        (4, None),                             # NULL -> the single '' shingle
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 0)
+    rep = {
+        r["doc_id"]: (r["n_shingles"], r["n_contaminated"])
+        for r in contamination_report(docs, bench).collect()
+    }
+    # doc 0: 9 words -> 2 distinct 8-shingles, both contaminated
+    assert rep[0] == (2, 2)
+    # doc 1: 14 words -> 7 distinct shingles; exactly the 2 bench
+    # shingles appear verbatim inside
+    assert rep[1] == (7, 2)
+    # doc 2: 7 words -> the single whole-doc shingle, clean
+    assert rep[2] == (1, 0)
+    assert rep[3][1] == 0
+    assert rep[4] == (1, 0)
+
+
+def test_contamination_report_bloom_equals_exact(spark):
+    from ocr_obsidian_spark.operators.webprep import contamination_report
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").limit(60)
+    )
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    exact = {
+        (r["doc_id"], r["n_shingles"], r["n_contaminated"])
+        for r in contamination_report(docs, bench).collect()
+    }
+    # saturated filter: every false positive must die in the confirm
+    # join, leaving identical COUNTS, not just an identical keep set
+    bloom = {
+        (r["doc_id"], r["n_shingles"], r["n_contaminated"])
+        for r in contamination_report(
+            docs, bench, method="bloom", bits_log2=6, n_hashes=2
+        ).collect()
+    }
+    assert bloom == exact
+
+
+def test_decontaminate_by_overlap_thresholds(spark):
+    import pytest as _pytest
+
+    from ocr_obsidian_spark.operators.webprep import (
+        decontaminate,
+        decontaminate_by_overlap,
+    )
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [
+        (0, bench_text),
+        (1, "prefix words then " + bench_text + " trailing tail"),
+        (3, "completely unrelated text about something else entirely here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 0)
+    # pct=0 reproduces decontaminate exactly (any shared shingle drops)
+    kept0 = {
+        r["doc_id"]
+        for r in decontaminate_by_overlap(docs, bench, max_overlap_pct=0).collect()
+    }
+    assert kept0 == {r["doc_id"] for r in decontaminate(docs, bench).collect()}
+    # doc 1 is 2/7 ≈ 28.6% contaminated: survives a 30% gate, dies at 28%
+    kept30 = {
+        r["doc_id"]
+        for r in decontaminate_by_overlap(docs, bench, max_overlap_pct=30).collect()
+    }
+    assert kept30 == {1, 3}
+    kept28 = {
+        r["doc_id"]
+        for r in decontaminate_by_overlap(docs, bench, max_overlap_pct=28).collect()
+    }
+    assert kept28 == {3}
+    with _pytest.raises(ValueError):
+        decontaminate_by_overlap(docs, bench, max_overlap_pct=100)
+    with _pytest.raises(ValueError):
+        decontaminate_by_overlap(docs, bench, max_overlap_pct=-1)
