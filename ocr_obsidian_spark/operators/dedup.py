@@ -400,14 +400,46 @@ def drop_near_duplicates(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    *,
+    keep_by: str | None = None,
+    keep_desc: bool = True,
 ) -> DataFrame:
-    """Keep one representative (min id) per near-duplicate component; docs
-    in no pair survive untouched. The end-to-end near-dedup resolution:
-    candidates → verified pairs → components → keep-list anti-join."""
+    """Keep one representative per near-duplicate component; docs in no
+    pair survive untouched. The end-to-end near-dedup resolution:
+    candidates → verified pairs → components → keep-list anti-join.
+
+    ``keep_by=None`` (default): min id — the cheapest deterministic rule.
+    ``keep_by="quality_score"`` (or any df column): keep the BEST-scoring
+    member per component (desc by default; ``keep_desc=False`` for
+    cost-like scores), id-asc tiebreak — the curation rule real pipelines
+    use so dedup removes the redundant copies, not the good one
+    (RefinedWeb-style keep-best). Scale shape: components exist only for
+    docs that appear in a verified pair (tiny vs the corpus); the score
+    join touches a two-column projection of df and the per-component
+    window runs on that small table — the corpus itself only sees the
+    final anti-join."""
     comps = pair_components(pairs)
-    losers = comps.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
-    )
+    if keep_by is None:
+        losers = comps.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        from pyspark.sql import Window
+
+        scored = comps.join(
+            df.select(F.col(id_col).alias("node"), F.col(keep_by).alias("_s")),
+            "node",
+        )
+        order = [
+            F.col("_s").desc() if keep_desc else F.col("_s").asc(),
+            F.col("node").asc(),
+        ]
+        w = Window.partitionBy("component").orderBy(*order)
+        losers = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select(F.col("node").alias(id_col))
+        )
     return df.join(losers, id_col, "left_anti")
 
 

@@ -129,10 +129,15 @@ def page_rank(
     src = F.col(src_col)
     dst = F.col(dst_col)
     e = edges.select(src.alias("src"), dst.alias("dst"))
-    nodes = (
+    # nodes is re-joined EVERY iteration — truncate it once, or each
+    # iteration re-executes the 2-scan union + distinct (the
+    # pair_components lesson: cut every DataFrame an iterative loop
+    # re-joins; measured 2M-edge probe before/after in BENCH/SCALING_GRAPH)
+    nodes = truncate_lineage(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+        .distinct(),
+        checkpoint,
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # contributions divide by outdeg per edge, so pre-join deg once and
@@ -140,8 +145,9 @@ def page_rank(
     edeg = truncate_lineage(e.join(deg, "src"), checkpoint)
     teleport = (scale * (damping_den - damping_num)) // damping_den
 
+    # initial ranks need no cut of their own: they are a trivial
+    # projection of the already-truncated nodes and are consumed once
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
-    ranks = truncate_lineage(ranks, checkpoint)
     for _ in range(iters):
         insum = (
             edeg.join(ranks, edeg["src"] == ranks["node"])

@@ -355,3 +355,46 @@ def test_incremental_near_existing_bucket_cap_is_deterministic(spark):
         ).collect()
     }
     assert got == {(9000, i) for i in range(5)}
+
+
+def test_drop_near_duplicates_keep_best_quality(spark):
+    """keep_by picks the best-scoring member per component (id-asc
+    ties), not the min id; docs outside any pair always survive."""
+    from pyspark.sql import functions as F
+
+    from ocr_obsidian_spark.operators.dedup import drop_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (10, 0.1)],
+        ["doc_id", "q"],
+    )
+    # component {1,2,3} via chained pairs; {4} unpaired would not appear;
+    # 10 is in no pair
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    kept = {
+        r["doc_id"]
+        for r in drop_near_duplicates(docs, pairs, keep_by="q").collect()
+    }
+    # best q in {1,2,3} is 0.9 shared by 2 and 3 -> id-asc keeps 2
+    assert kept == {2, 4, 10}
+    # ascending mode keeps the LOWEST score (cost-like metric)
+    kept_asc = {
+        r["doc_id"]
+        for r in drop_near_duplicates(
+            docs, pairs, keep_by="q", keep_desc=False
+        ).collect()
+    }
+    assert kept_asc == {1, 4, 10}
+    # default rule unchanged: min id
+    kept_min = {
+        r["doc_id"] for r in drop_near_duplicates(docs, pairs).collect()
+    }
+    assert kept_min == {1, 4, 10}
+    # determinism across parallelism
+    kept16 = {
+        r["doc_id"]
+        for r in drop_near_duplicates(
+            docs.repartition(16), pairs.repartition(16), keep_by="q"
+        ).collect()
+    }
+    assert kept16 == kept
