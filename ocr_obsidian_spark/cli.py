@@ -477,9 +477,7 @@ def run_rank(args) -> int:
     host. The join is left UNHINTED: the host table is tiny relative to
     the corpus for ordinary crawls (AQE broadcasts it), but a 10^8-host
     web graph may exceed broadcast limits — AQE picks from real sizes."""
-    from pyspark.sql import functions as F
-
-    from .operators.graphrank import host_link_edges, page_rank
+    from .operators.graphrank import host_link_edges, page_host, page_rank
     from .sources.io import write_table
 
     spark = _session(args)
@@ -489,14 +487,14 @@ def run_rank(args) -> int:
         pages, url_col=args.url_col, html_col=args.html_col
     )
     ranks = page_rank(
-        edges, iters=args.iters, node_col="host", rank_col="host_rank_i"
+        edges, iters=args.iters, scale=args.scale,
+        node_col="host", rank_col="host_rank_i",
     )
     if args.attach_docs:
         docs = spark.read.parquet(args.attach_docs)
-        host = F.lower(
-            F.regexp_extract(F.col(args.url_col), r"(?i)^[a-z]+://([^/]+)", 1)
+        out = docs.withColumn("host", page_host(args.url_col)).join(
+            ranks, "host", "left"
         )
-        out = docs.withColumn("host", host).join(ranks, "host", "left")
     else:
         out = ranks
     write_table(
@@ -521,6 +519,11 @@ def run_webprep(args) -> int:
     )
     from .sources.io import write_table
 
+    pct = getattr(args, "max_overlap_pct", None)
+    if pct is not None and not (0 <= pct < 100):
+        raise ConfigError(
+            f"--max-overlap-pct must be in [0, 100), got {pct}"
+        )
     spark = _session(args)
     _check_out(args.out, args.overwrite)
     docs = spark.read.parquet(args.docs)
@@ -731,6 +734,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--url-col", default="url")
     p.add_argument("--html-col", default="html")
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--scale", type=int, default=10**12,
+                   help="integer rank units per node of initial mass; keep "
+                        "n_hosts * scale * 85 < 2^63 — pass 10**9 for "
+                        "web-scale host graphs (default suits <=10^5 hosts)")
     p.add_argument("--attach-docs", default=None,
                    help="optional docs parquet: left-join host_rank_i onto it "
                         "by each doc's url host instead of writing the host table")

@@ -430,8 +430,12 @@ def drop_near_duplicates(
             df.select(F.col(id_col).alias("node"), F.col(keep_by).alias("_s")),
             "node",
         )
+        # nulls LAST in both directions: an unscored member must never
+        # beat a scored one to the representative slot (Spark's bare
+        # asc() puts NULLs first)
         order = [
-            F.col("_s").desc() if keep_desc else F.col("_s").asc(),
+            F.col("_s").desc_nulls_last() if keep_desc
+            else F.col("_s").asc_nulls_last(),
             F.col("node").asc(),
         ]
         w = Window.partitionBy("component").orderBy(*order)

@@ -58,12 +58,24 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .xengine import truncate_lineage
 
-__all__ = ["host_link_edges", "page_rank", "page_rank_oracle_sql"]
+__all__ = ["host_link_edges", "page_host", "page_rank", "page_rank_oracle_sql"]
 
 # hrefs in single or double quotes; the tag regex keeps the name
-# boundary rule (CLAUDE.md: `<a[^>]*>` would match `<abbr>`) and stays
-# in the Java∩RE2 subset so an oracle twin could replay it.
-_HREF_RE = r"(?i)<a\s[^>]*href\s*=\s*[\"']([^\"']*)[\"']"
+# boundary rule (CLAUDE.md: `<a[^>]*>` would match `<abbr>`) AND an
+# attribute boundary before href (`<a\s[^>]*href` would match the href
+# suffix of data-href/xlink:href and extract the wrong URL); stays in
+# the Java∩RE2 subset so an oracle twin could replay it.
+_HREF_RE = r"(?i)<a\s(?:[^>]*\s)?href\s*=\s*[\"']([^\"']*)[\"']"
+
+
+def page_host(url_col: str = "url") -> Column:
+    """Lowercased host of a page url — THE shared key expression for
+    the host graph. host_link_edges builds edge endpoints with it and
+    the CLI rank stage joins ranks back to docs with it; one definition
+    so the join key cannot drift."""
+    return F.lower(
+        F.regexp_extract(F.col(url_col), r"(?i)^[a-z]+://([^/]+)", 1)
+    )
 
 
 def host_link_edges(
@@ -84,9 +96,6 @@ def host_link_edges(
     self-edge. The page-level explode collapses to host pairs BEFORE
     the distinct so the shuffle carries (host, host) pairs, not urls.
     """
-    page_host = F.lower(
-        F.regexp_extract(F.col(url_col), r"(?i)^[a-z]+://([^/]+)", 1)
-    )
     hrefs = F.regexp_extract_all(
         F.col(html_col).cast("string"), F.lit(_HREF_RE), F.lit(1)
     )
@@ -94,7 +103,9 @@ def host_link_edges(
         F.regexp_extract(F.col("href"), r"(?i)^https?://([^/]+)", 1)
     )
     return (
-        df.select(page_host.alias(out_col_src), F.explode(hrefs).alias("href"))
+        df.select(
+            page_host(url_col).alias(out_col_src), F.explode(hrefs).alias("href")
+        )
         .select(out_col_src, target_host.alias(out_col_dst))
         .where((F.col(out_col_dst) != "") & (F.col(out_col_src) != ""))
         .distinct()

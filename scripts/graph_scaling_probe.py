@@ -57,12 +57,15 @@ def sample(cpus: int) -> dict:
         ).collect()[0]["n"]
 
     def load(n_edges: int, n_hosts: int):
+        # pmod, not %: xxhash64 is signed, so a bare % would silently
+        # double the host universe (h-42 and h42 as distinct nodes) and
+        # halve the average degree vs the recorded HOSTS parameter
         e = (
             spark.range(n_edges)
             .select(
-                F.concat(F.lit("h"), (F.xxhash64("id") % n_hosts)).alias("src"),
+                F.concat(F.lit("h"), F.pmod(F.xxhash64("id"), n_hosts)).alias("src"),
                 F.concat(
-                    F.lit("h"), (F.xxhash64("id", F.lit(1)) % n_hosts)
+                    F.lit("h"), F.pmod(F.xxhash64("id", F.lit(1)), n_hosts)
                 ).alias("dst"),
             )
             .repartition(cpus)

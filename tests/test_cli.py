@@ -410,3 +410,13 @@ def test_rank_subcommand(tmp_path, spark):
     joined = {r["doc_id"]: r["host_rank_i"] for r in spark.read.parquet(out2).collect()}
     assert joined[1] == got["b.test"]
     assert joined[2] is None  # host absent from the link graph: left join
+
+
+def test_webprep_overlap_pct_validation_exits_config(tmp_path, spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(4)
+    src = str(tmp_path / "v_docs")
+    docs.write.parquet(src)
+    assert main([
+        "webprep", "--docs", src, "--out", str(tmp_path / "v_out"),
+        "--benchmark", src, "--max-overlap-pct", "100",
+    ]) == 3

@@ -398,3 +398,22 @@ def test_drop_near_duplicates_keep_best_quality(spark):
         ).collect()
     }
     assert kept16 == kept
+
+
+def test_drop_near_duplicates_null_score_never_wins(spark):
+    """NULL scores sort last in BOTH directions — an unscored member
+    must not become the component representative."""
+    from ocr_obsidian_spark.operators.dedup import drop_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, 0.5)], "doc_id long, q double"
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    for desc in (True, False):
+        kept = {
+            r["doc_id"]
+            for r in drop_near_duplicates(
+                docs, pairs, keep_by="q", keep_desc=desc
+            ).collect()
+        }
+        assert kept == {2}, desc

@@ -107,6 +107,17 @@ def test_host_link_edges_extraction(spark):
         # duplicate target from a second page on the same host -> distinct
         ("https://alpha.test/page/2", b'<a href="https://beta.test/other">b</a>'),
         ("https://beta.test/", b'<a href="HTTPS://ALPHA.test/back">a</a>'),
+        # data-href must NOT be read as href (attribute boundary): the
+        # only real href here is relative -> no edge from this page
+        (
+            "https://delta.test/",
+            b'<a data-href="https://tracker.test/x" href="/rel">t</a>',
+        ),
+        # ...but a real href after other attributes still extracts
+        (
+            "https://delta.test/2",
+            b'<a data-href="https://tracker.test/x" href="https://beta.test/y">ok</a>',
+        ),
     ]
     df = spark.createDataFrame(rows, ["url", "html"])
     got = {(r["src"], r["dst"]) for r in host_link_edges(df).collect()}
@@ -114,4 +125,5 @@ def test_host_link_edges_extraction(spark):
         ("alpha.test", "beta.test"),
         ("alpha.test", "gamma.test:8080"),
         ("beta.test", "alpha.test"),
+        ("delta.test", "beta.test"),
     }
