@@ -354,6 +354,54 @@ def run_score(args) -> int:
     return 0
 
 
+def run_filter(args) -> int:
+    """documents table → rule-filtered table (the published heuristic
+    gates, CLI-composable like a Gopher/C4-style pipeline): C4 line
+    cleaning first (sentence-level gate BEFORE document-level stats, the
+    published order), then the Gopher doc-shape/stop-word rules, then
+    the Gopher repetition rule set — each optional, all map-only
+    (webprep.c4_line_filter, textstats.with_gopher_flags,
+    repetition.with_gopher_repetition). ``--flags-only`` keeps every doc
+    and writes the flag columns instead of dropping."""
+    from pyspark.sql import functions as F
+
+    from .sources.io import write_table
+
+    if not (args.c4 or args.gopher or args.gopher_rep):
+        raise ConfigError(
+            "filter: pass at least one of --c4 / --gopher / --gopher-rep"
+        )
+    spark = _session(args)
+    _check_out(args.out, args.overwrite)
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+    out = docs
+    if args.c4:
+        from .operators.webprep import c4_line_filter
+
+        out = c4_line_filter(out, text_col=args.text_col)
+        if not args.flags_only:
+            out = out.filter(F.length(F.col(args.text_col)) > 0)
+    if args.gopher:
+        from .operators.textstats import with_gopher_flags
+
+        out = with_gopher_flags(out, args.text_col)
+        if not args.flags_only:
+            out = out.filter(F.col("gopher_pass"))
+    if args.gopher_rep:
+        from .operators.repetition import with_gopher_repetition
+
+        out = with_gopher_repetition(out, args.text_col)
+        if not args.flags_only:
+            out = out.filter(F.col("gopher_rep_pass"))
+    write_table(
+        out, args.out, mode="overwrite" if args.overwrite == "always" else "error"
+    )
+    n_out = spark.read.parquet(args.out).count()
+    print(f"filter: {n_in} → {n_out} docs at {args.out}")
+    return 0
+
+
 def run_select(args) -> int:
     """documents table → DSIR-selected subset (operators/dsir.py): fit
     hashed-bigram importance ratios of a TARGET corpus against the raw
@@ -681,6 +729,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clf-only", action="store_true",
                    help="keep only docs the supervised classifier accepts")
     p.set_defaults(handler=run_score)
+
+    p = sub.add_parser(
+        "filter",
+        help="documents table → rule-filtered table (C4 / Gopher gates).",
+    )
+    _add_common(p)
+    p.add_argument("--docs", required=True, help="input documents parquet")
+    p.add_argument("--out", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--c4", action="store_true",
+                   help="C4 line cleaning (drop docs left empty)")
+    p.add_argument("--gopher", action="store_true",
+                   help="Gopher doc-shape + stop-word rules")
+    p.add_argument("--gopher-rep", action="store_true",
+                   help="Gopher repetition rule set (11 fractions)")
+    p.add_argument("--flags-only", action="store_true",
+                   help="keep all docs; write flag columns instead of dropping")
+    p.set_defaults(handler=run_filter)
 
     p = sub.add_parser(
         "select",

@@ -420,3 +420,43 @@ def test_webprep_overlap_pct_validation_exits_config(tmp_path, spark):
         "webprep", "--docs", src, "--out", str(tmp_path / "v_out"),
         "--benchmark", src, "--max-overlap-pct", "100",
     ]) == 3
+
+
+def test_filter_subcommand(tmp_path, spark):
+    """C4 + Gopher gates from the CLI: dropping vs --flags-only, and the
+    no-filter-selected config error."""
+    from pyspark.sql import functions as F
+
+    good = (
+        "The crawl was fetched and the pages were parsed with care. "
+        "Many documents arrived over the wire and most of them were "
+        "clean and useful for training the model. " * 3
+        + "The pipeline then removed the rest because quality matters."
+    )
+    docs = spark.createDataFrame(
+        [(0, good), (1, "{ javascript boilerplate"), (2, "tiny doc.")],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "f_docs")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "f_out")
+    assert main([
+        "filter", "--docs", src, "--out", out, "--c4", "--gopher",
+    ]) == 0
+    kept = spark.read.parquet(out)
+    assert {r["doc_id"] for r in kept.collect()} == {0}
+    assert kept.filter(~F.col("gopher_pass")).count() == 0
+
+    out2 = str(tmp_path / "f_flags")
+    assert main([
+        "filter", "--docs", src, "--out", out2, "--gopher", "--gopher-rep",
+        "--flags-only",
+    ]) == 0
+    flagged = spark.read.parquet(out2)
+    assert flagged.count() == 3
+    assert {"gopher_pass", "gopher_rep_pass"} <= set(flagged.columns)
+
+    assert main([
+        "filter", "--docs", src, "--out", str(tmp_path / "f_none"),
+    ]) == 3
