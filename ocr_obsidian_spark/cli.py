@@ -354,6 +354,43 @@ def run_score(args) -> int:
     return 0
 
 
+def run_report(args) -> int:
+    """documents table → one JSON corpus summary on stdout (counts,
+    token/char totals, per-lang and per-source breakdowns, NULL-text
+    count) — the sanity check every pipeline stage boundary needs.
+    Distributed: one full-scan aggregate + two group-bys over single
+    columns; only group-cardinality-sized rows reach the driver."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from .operators.textstats import with_token_counts
+
+    spark = _session(args)
+    docs = spark.read.parquet(args.docs)
+    t = with_token_counts(docs, args.text_col)
+    row = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(F.coalesce(F.col(args.text_col), F.lit("")))).alias("n_chars"),
+        F.sum("n_ws_tokens").alias("n_ws_tokens"),
+        F.sum(F.col(args.text_col).isNull().cast("long")).alias("n_null_text"),
+    ).collect()[0]
+    rep = {
+        "n_docs": row["n_docs"],
+        "n_chars": int(row["n_chars"] or 0),
+        "n_ws_tokens": int(row["n_ws_tokens"] or 0),
+        "n_null_text": int(row["n_null_text"] or 0),
+    }
+    for col in ("lang", "source"):
+        if col in docs.columns:
+            rep[f"by_{col}"] = {
+                str(r[col]): r["count"]
+                for r in docs.groupBy(col).count().collect()
+            }
+    print(_json.dumps(rep, sort_keys=True))
+    return 0
+
+
 def run_filter(args) -> int:
     """documents table → rule-filtered table (the published heuristic
     gates, CLI-composable like a Gopher/C4-style pipeline): C4 line
@@ -729,6 +766,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clf-only", action="store_true",
                    help="keep only docs the supervised classifier accepts")
     p.set_defaults(handler=run_score)
+
+    p = sub.add_parser(
+        "report",
+        help="documents table → one-line JSON corpus summary on stdout.",
+    )
+    _add_common(p)
+    p.add_argument("--docs", required=True, help="input documents parquet")
+    p.add_argument("--text-col", default="text")
+    p.set_defaults(handler=run_report)
 
     p = sub.add_parser(
         "filter",

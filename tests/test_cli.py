@@ -460,3 +460,26 @@ def test_filter_subcommand(tmp_path, spark):
     assert main([
         "filter", "--docs", src, "--out", str(tmp_path / "f_none"),
     ]) == 3
+
+
+def test_report_subcommand(tmp_path, spark, capsys):
+    import json
+
+    docs = spark.createDataFrame(
+        [(0, "two words", "en", "s0"), (1, None, "de", "s0"),
+         (2, "a b c", "en", "s1")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    src = str(tmp_path / "r_docs")
+    docs.write.parquet(src)
+    assert main(["report", "--docs", src]) == 0
+    line = [
+        ln for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ][-1]
+    rep = json.loads(line)
+    assert rep["n_docs"] == 3
+    assert rep["n_null_text"] == 1
+    assert rep["n_ws_tokens"] == 5
+    assert rep["by_lang"] == {"en": 2, "de": 1}
+    assert rep["by_source"] == {"s0": 2, "s1": 1}
