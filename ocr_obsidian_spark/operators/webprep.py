@@ -393,6 +393,74 @@ def mix_corpus(
     return df.filter(md5_bucket(key_col, buckets) < thresh)
 
 
+def alpha_sampling_weights(
+    counts: dict[str, int], *, alpha: float = 0.3, keep_frac: float = 0.5
+) -> dict[str, float]:
+    """Temperature-based group re-weighting (the multilingual
+    alpha-sampling recipe of mBERT/XLM-R, Conneau et al. 2020: sample
+    groups ∝ count^alpha instead of raw count, boosting low-resource
+    languages): per-group keep fractions q_g with kept_g ∝ count_g^alpha
+    subject to q_g ≤ 1, totalling ``keep_frac`` of the corpus. Groups
+    whose boosted share exceeds their size cap at 1 and the surplus
+    re-normalizes over the rest (waterfilling — iterates at most once
+    per group). alpha=1 keeps every group at keep_frac; alpha=0 aims at
+    equal KEPT counts per group; alpha=0.3 is the published XLM-R
+    setting. Pure driver-side arithmetic on the (tiny) per-group count
+    table; feed the result to ``mix_corpus`` (or use ``alpha_sample``)."""
+    if not counts:
+        return {}
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError("alpha must be in [0, 1]")
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError("keep_frac must be in (0, 1]")
+    if any(c <= 0 for c in counts.values()):
+        raise ValueError("group counts must be positive")
+    target = keep_frac * sum(counts.values())
+    capped: set[str] = set()
+    scale = 0.0
+    while True:
+        uncapped = [g for g in counts if g not in capped]
+        remaining = target - sum(counts[g] for g in capped)
+        if not uncapped or remaining <= 0:
+            break
+        denom = sum(counts[g] ** alpha for g in uncapped)
+        scale = remaining / denom
+        newly = [g for g in uncapped if scale * counts[g] ** (alpha - 1) >= 1.0]
+        if not newly:
+            break
+        capped.update(newly)
+    return {
+        g: 1.0 if g in capped else min(1.0, scale * counts[g] ** (alpha - 1))
+        for g in counts
+    }
+
+
+def alpha_sample(
+    df: DataFrame,
+    *,
+    alpha: float = 0.3,
+    keep_frac: float = 0.5,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic temperature re-sampling over a group column: one
+    tiny groupBy-count to the driver, ``alpha_sampling_weights`` for the
+    per-group fractions, then the ``mix_corpus`` md5-bucket filter —
+    map-only over the corpus, reproducible across runs/engines/
+    parallelism, and the group count table is group-cardinality-sized
+    (languages, not documents) at any corpus scale."""
+    counts = {
+        str(r[group_col]): r["count"]
+        for r in df.groupBy(group_col).count().collect()
+        if r[group_col] is not None
+    }
+    weights = alpha_sampling_weights(counts, alpha=alpha, keep_frac=keep_frac)
+    return mix_corpus(
+        df, weights, source_col=group_col, key_col=key_col, buckets=buckets
+    )
+
+
 def pack_shards(
     df: DataFrame,
     budget: int,

@@ -665,3 +665,78 @@ def test_decontaminate_by_overlap_thresholds(spark):
         decontaminate_by_overlap(docs, bench, max_overlap_pct=100)
     with _pytest.raises(ValueError):
         decontaminate_by_overlap(docs, bench, max_overlap_pct=-1)
+
+
+def test_alpha_sampling_weights_properties():
+    from ocr_obsidian_spark.operators.webprep import alpha_sampling_weights
+
+    counts = {"en": 100_000, "fr": 10_000, "sw": 100}
+    # alpha=1: every group at keep_frac exactly
+    w1 = alpha_sampling_weights(counts, alpha=1.0, keep_frac=0.5)
+    assert all(abs(v - 0.5) < 1e-12 for v in w1.values())
+    # alpha=0: aims at EQUAL kept counts -> the rare group caps at 1 and
+    # the surplus redistributes; kept totals hit keep_frac * N
+    w0 = alpha_sampling_weights(counts, alpha=0.0, keep_frac=0.5)
+    # the equal-kept target (~18.3k/group) exceeds BOTH small groups, so
+    # both cap at 1 and the surplus flows to en; total is conserved
+    assert w0["sw"] == 1.0 and w0["fr"] == 1.0
+    kept = sum(w0[g] * counts[g] for g in counts)
+    assert abs(kept - 0.5 * sum(counts.values())) < 1e-6
+    # with two groups big enough to stay uncapped, alpha=0 equalizes
+    # their KEPT counts exactly
+    w0b = alpha_sampling_weights(
+        {"en": 100_000, "fr": 90_000, "sw": 100}, alpha=0.0, keep_frac=0.5
+    )
+    assert w0b["sw"] == 1.0
+    assert abs(w0b["en"] * 100_000 - w0b["fr"] * 90_000) < 1e-6
+    # published setting: rarer groups get strictly higher keep rates,
+    # kept counts still ordered by size
+    w3 = alpha_sampling_weights(counts, alpha=0.3, keep_frac=0.5)
+    assert w3["sw"] >= w3["fr"] > w3["en"]
+    k = {g: w3[g] * counts[g] for g in counts}
+    assert k["en"] > k["fr"] > k["sw"]
+    # keep_frac=1 keeps everything
+    assert set(alpha_sampling_weights(counts, keep_frac=1.0).values()) == {1.0}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        alpha_sampling_weights(counts, alpha=1.5)
+    with _pytest.raises(ValueError):
+        alpha_sampling_weights(counts, keep_frac=0.0)
+    with _pytest.raises(ValueError):
+        alpha_sampling_weights({"en": 0})
+    assert alpha_sampling_weights({}) == {}
+
+
+def test_alpha_sample_deterministic_and_boosts_rare(spark):
+    from ocr_obsidian_spark.operators.webprep import (
+        alpha_sample,
+        alpha_sampling_weights,
+        mix_corpus,
+    )
+
+    rows = [(i, "en" if i < 900 else "sw") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = alpha_sample(df, alpha=0.0, keep_frac=0.4)
+    got = {
+        r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()
+    }
+    # sw (100 docs) caps at 1.0: all kept; en keeps ~300 of 900
+    assert got["sw"] == 100
+    assert 200 < got["en"] < 400
+    # exactly the mix_corpus keep set for the same computed weights
+    w = alpha_sampling_weights({"en": 900, "sw": 100}, alpha=0.0, keep_frac=0.4)
+    exp = {
+        r["doc_id"]
+        for r in mix_corpus(
+            df, w, source_col="lang", key_col="doc_id"
+        ).collect()
+    }
+    assert {r["doc_id"] for r in kept.collect()} == exp
+    # determinism across parallelism
+    kept16 = {
+        r["doc_id"]
+        for r in alpha_sample(
+            df.repartition(16), alpha=0.0, keep_frac=0.4
+        ).collect()
+    }
+    assert kept16 == exp
