@@ -1162,12 +1162,40 @@ def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
     return dsir_select(docs, 100)
 
 
+def q_alpha_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Multilingual alpha-sampling (temperature re-weighting, Conneau et
+    al. 2020 — operators/webprep.py alpha_sample) over a deterministic
+    skewed 3-group split (80/15/5 by doc_id % 20) at alpha=0, the
+    equal-kept-counts setting where the waterfilling cap loop actually
+    fires: both small groups cap at weight 1.0 and the surplus
+    re-normalizes onto the big one. alpha=0 keeps every weight in pure
+    integer-count + IEEE-division arithmetic (p_g = c^0 = 1.0 exactly;
+    no transcendental pow crosses engines), so the mix_suite oracle
+    replays the loop round by round, bit-identically."""
+    from ocr_obsidian_spark.operators.webprep import alpha_sample
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("g"),
+            F.when(F.col("doc_id") % 20 < 16, F.lit(0))
+            .when(F.col("doc_id") % 20 < 19, F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("string"),
+        ).alias("grp"),
+    )
+    kept = alpha_sample(
+        d, alpha=0.0, keep_frac=0.5, group_col="grp", key_col="doc_id"
+    )
+    return kept.select("doc_id", "grp")
+
+
 def q_mix_suite(spark: SparkSession, sf: str) -> DataFrame:
     """Driver fold (round 5, keeps the registry at exactly 50 with dsir
     added): the source-keyed mix_corpus keep-set plus the content-keyed
-    DSIR weight/selection table, tagged by a variant column with
-    ''/-1 sentinels (NULL-free compound-union rule). bench.py still
-    times q_mix_corpus and q_dsir separately."""
+    DSIR weight/selection table plus the alpha-sampling keep-set, tagged
+    by a variant column with ''/-1 sentinels (NULL-free compound-union
+    rule). bench.py still times q_mix_corpus and q_dsir separately."""
     mix = q_mix_corpus(spark, sf).select(
         F.lit("mix").alias("variant"),
         F.col("doc_id"),
@@ -1184,7 +1212,15 @@ def q_mix_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.col("logw_micro").alias("v2"),
         F.col("selected").alias("v3"),
     )
-    return mix.unionByName(dsir)
+    alpha = q_alpha_sample(spark, sf).select(
+        F.lit("alpha").alias("variant"),
+        F.col("doc_id"),
+        F.col("grp").alias("s"),
+        F.lit(-1).cast("long").alias("v1"),
+        F.lit(-1).cast("long").alias("v2"),
+        F.lit(-1).cast("long").alias("v3"),
+    )
+    return mix.unionByName(dsir).unionByName(alpha)
 
 
 def _noisy_url(base_id: F.Column) -> F.Column:
@@ -3425,7 +3461,55 @@ def oracle_sql() -> dict[str, str]:
                       FROM j),
             ranked AS (SELECT doc_id, n_grams, logw_micro,
                               row_number() OVER (ORDER BY k DESC, doc_id) AS rn
-                       FROM keyed)
+                       FROM keyed),
+            -- alpha-sampling replay (alpha = 0, keep_frac = 0.5): the
+            -- waterfilling loop of alpha_sampling_weights unrolled for 3
+            -- groups. p_g = c^0 = 1.0 exactly, so every round is
+            -- (target - sum of capped counts) / count(uncapped) — pure
+            -- BIGINT sums + one IEEE division, identical both engines.
+            -- The unroll is idempotent past the fixed point (an extra
+            -- round with no new cap recomputes the same scale), so three
+            -- cap rounds + a final scale cover every G=3 trajectory.
+            ag AS MATERIALIZED (
+                SELECT doc_id,
+                       'g' || CASE WHEN doc_id % 20 < 16 THEN 0
+                                   WHEN doc_id % 20 < 19 THEN 1
+                                   ELSE 2 END AS grp
+                FROM documents),
+            acnt AS MATERIALIZED (
+                SELECT grp, CAST(count(*) AS BIGINT) AS c
+                FROM ag GROUP BY grp),
+            atgt AS (SELECT 0.5 * sum(c) AS target FROM acnt),
+            as1 AS (SELECT (SELECT target FROM atgt)
+                           / (SELECT CAST(count(*) AS DOUBLE) FROM acnt) AS s),
+            ac1 AS MATERIALIZED (
+                SELECT grp, c, (SELECT s FROM as1) >= c AS cap FROM acnt),
+            as2 AS (SELECT ((SELECT target FROM atgt)
+                            - (SELECT coalesce(sum(c), 0) FROM ac1 WHERE cap))
+                           / (SELECT nullif(CAST(count(*) AS DOUBLE), 0.0)
+                              FROM ac1 WHERE NOT cap) AS s),
+            ac2 AS MATERIALIZED (
+                SELECT grp, c, cap OR ((SELECT s FROM as2) >= c) AS cap
+                FROM ac1),
+            as3 AS (SELECT ((SELECT target FROM atgt)
+                            - (SELECT coalesce(sum(c), 0) FROM ac2 WHERE cap))
+                           / (SELECT nullif(CAST(count(*) AS DOUBLE), 0.0)
+                              FROM ac2 WHERE NOT cap) AS s),
+            ac3 AS MATERIALIZED (
+                SELECT grp, c, cap OR ((SELECT s FROM as3) >= c) AS cap
+                FROM ac2),
+            as4 AS (SELECT ((SELECT target FROM atgt)
+                            - (SELECT coalesce(sum(c), 0) FROM ac3 WHERE cap))
+                           / (SELECT nullif(CAST(count(*) AS DOUBLE), 0.0)
+                              FROM ac3 WHERE NOT cap) AS s),
+            -- weight -> bucket threshold: floor(w*10000 + 0.5), the
+            -- alpha_sample quantization (half-up on both engines)
+            awt AS (SELECT grp,
+                           CASE WHEN cap THEN CAST(10000 AS BIGINT)
+                                ELSE CAST(floor(((SELECT s FROM as4) * 1.0 / c)
+                                                * 10000 + 0.5) AS BIGINT)
+                           END AS thr
+                    FROM ac3)
             SELECT 'mix' AS variant, doc_id, source AS s,
                    CAST(-1 AS BIGINT) AS v1, CAST(-1 AS BIGINT) AS v2,
                    CAST(-1 AS BIGINT) AS v3
@@ -3434,6 +3518,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'dsir', doc_id, '', n_grams, logw_micro,
                    CAST(CASE WHEN rn <= 100 THEN 1 ELSE 0 END AS BIGINT)
             FROM ranked
+            UNION ALL
+            SELECT 'alpha', ag.doc_id, ag.grp,
+                   CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+            FROM ag JOIN awt USING (grp)
+            WHERE ('0x' || substr(md5(CAST(ag.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 10000 < awt.thr
         """,
         # sequence packing: same md5-bucket expression as hash_sample /
         # pack_shards; stream offsets via a window prefix sum, token

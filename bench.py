@@ -157,6 +157,9 @@ def main() -> None:
         # host-graph PageRank (4 power iterations over the synthetic
         # host-link graph)
         "quality_clf", "incremental_dedup", "page_rank",
+        # round 5 (late): multilingual alpha-sampling (one tiny groupBy
+        # count to the driver + the map-only mix_corpus bucket filter)
+        "alpha_sample",
     ]
     if only and only != "extract":
         # targeted mode for scaling probes: comma-separated query names,

@@ -416,6 +416,13 @@ def alpha_sampling_weights(
     if any(c <= 0 for c in counts.values()):
         raise ValueError("group counts must be positive")
     target = keep_frac * sum(counts.values())
+    # One pow per group, then only +-*/ and compares: kept_g = scale *
+    # c^alpha, so the cap test is `scale * p_g >= c_g` and the weight is
+    # `scale * p_g / c_g` — never pow(c, alpha-1). Beyond avoiding a
+    # second transcendental, this makes alpha in {0, 1} (p_g = 1.0 / the
+    # exact float of c_g) pure IEEE integer-float arithmetic that a SQL
+    # oracle replays bit-identically (the mix_suite alpha arm).
+    powers = {g: float(c) ** alpha for g, c in counts.items()}
     capped: set[str] = set()
     scale = 0.0
     while True:
@@ -423,14 +430,14 @@ def alpha_sampling_weights(
         remaining = target - sum(counts[g] for g in capped)
         if not uncapped or remaining <= 0:
             break
-        denom = sum(counts[g] ** alpha for g in uncapped)
+        denom = sum(powers[g] for g in uncapped)
         scale = remaining / denom
-        newly = [g for g in uncapped if scale * counts[g] ** (alpha - 1) >= 1.0]
+        newly = [g for g in uncapped if scale * powers[g] >= counts[g]]
         if not newly:
             break
         capped.update(newly)
     return {
-        g: 1.0 if g in capped else min(1.0, scale * counts[g] ** (alpha - 1))
+        g: 1.0 if g in capped else min(1.0, scale * powers[g] / counts[g])
         for g in counts
     }
 
@@ -450,14 +457,29 @@ def alpha_sample(
     map-only over the corpus, reproducible across runs/engines/
     parallelism, and the group count table is group-cardinality-sized
     (languages, not documents) at any corpus scale."""
+    import math
+
     counts = {
         str(r[group_col]): r["count"]
         for r in df.groupBy(group_col).count().collect()
         if r[group_col] is not None
     }
     weights = alpha_sampling_weights(counts, alpha=alpha, keep_frac=keep_frac)
+    # Quantize each fraction to bucket resolution, half-up, BEFORE the
+    # mix_corpus threshold: the keep set becomes a pure function of
+    # (counts, alpha, keep_frac, buckets) with no float-rounding
+    # ambiguity at bucket boundaries (floor(x + 0.5) has one semantics
+    # everywhere; round() is banker's in Python, half-away in DuckDB).
+    quant = {g: math.floor(w * buckets + 0.5) / buckets for g, w in weights.items()}
+    zeroed = sorted(g for g, w in quant.items() if w == 0.0)
+    if zeroed:
+        # alpha-sampling never *intends* to drop a group outright
+        raise ValueError(
+            f"groups {zeroed} quantize to 0 of {buckets} buckets; "
+            f"raise `buckets` or `keep_frac` to express their weight"
+        )
     return mix_corpus(
-        df, weights, source_col=group_col, key_col=key_col, buckets=buckets
+        df, quant, source_col=group_col, key_col=key_col, buckets=buckets
     )
 
 

@@ -724,11 +724,15 @@ def test_alpha_sample_deterministic_and_boosts_rare(spark):
     assert got["sw"] == 100
     assert 200 < got["en"] < 400
     # exactly the mix_corpus keep set for the same computed weights
+    # (bucket-quantized, as alpha_sample does before thresholding)
+    import math
+
     w = alpha_sampling_weights({"en": 900, "sw": 100}, alpha=0.0, keep_frac=0.4)
+    wq = {g: math.floor(v * 10000 + 0.5) / 10000 for g, v in w.items()}
     exp = {
         r["doc_id"]
         for r in mix_corpus(
-            df, w, source_col="lang", key_col="doc_id"
+            df, wq, source_col="lang", key_col="doc_id"
         ).collect()
     }
     assert {r["doc_id"] for r in kept.collect()} == exp
@@ -740,3 +744,9 @@ def test_alpha_sample_deterministic_and_boosts_rare(spark):
         ).collect()
     }
     assert kept16 == exp
+    # a weight that quantizes to 0 buckets raises instead of silently
+    # dropping the whole group
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quantize to 0"):
+        alpha_sample(df, alpha=1.0, keep_frac=1e-5)
