@@ -97,6 +97,51 @@ def write_table(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "error",
+) -> None:
+    """Bucketed parquet sink: pre-shuffle ONCE at write time so every
+    downstream equi-join or aggregation on the bucket key is
+    exchange-free (Spark reads bucket files as already-hash-partitioned
+    input splits). At 100 TB this is the difference between re-shuffling
+    the corpus per join and shuffling it once per ingest: two tables
+    bucketed by the same key into the same ``n_buckets`` sort-merge-join
+    with ZERO Exchange nodes, and ``groupBy(bucket_by)`` aggregates
+    map-side only — both pinned by tests/test_plans.py.
+
+    Bucket metadata only exists through the catalog (``saveAsTable``; a
+    plain ``.parquet(path)`` write silently drops it, and a plain
+    ``spark.read.parquet`` of the same files ignores it — read back with
+    ``read_bucketed_table``/``spark.table``). ``path`` makes it an
+    EXTERNAL table (data at ``path``, metadata in the session catalog);
+    omitted, data lands in ``spark.sql.warehouse.dir``. ``sort_by``
+    additionally sorts within each bucket file so merge joins skip their
+    sort. Fail-closed ``mode="error"`` default, like write_table."""
+    if not bucket_by:
+        raise ValueError("bucket_by must name at least one column")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog scan of a bucketed table — the ONLY read path that keeps
+    the bucket-partitioning guarantee (see write_bucketed_table)."""
+    return spark.table(table)
+
+
 def read_table(spark: SparkSession, path: str, *, format: str = "parquet") -> DataFrame:
     """Canonical table source: parquet directory, or a catalog table
     identifier when ``format="iceberg"`` (``spark.table`` — Iceberg
