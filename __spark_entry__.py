@@ -3479,7 +3479,7 @@ def oracle_sql() -> dict[str, str]:
             acnt AS MATERIALIZED (
                 SELECT grp, CAST(count(*) AS BIGINT) AS c
                 FROM ag GROUP BY grp),
-            atgt AS (SELECT 0.5 * sum(c) AS target FROM acnt),
+            atgt AS MATERIALIZED (SELECT 0.5 * sum(c) AS target FROM acnt),
             as1 AS (SELECT (SELECT target FROM atgt)
                            / (SELECT CAST(count(*) AS DOUBLE) FROM acnt) AS s),
             ac1 AS MATERIALIZED (

@@ -383,8 +383,10 @@ def run_report(args) -> int:
     }
     for col in ("lang", "source"):
         if col in docs.columns:
+            # NULL groups get a dedicated key — str(None) would be
+            # indistinguishable from a literal 'None' value
             rep[f"by_{col}"] = {
-                str(r[col]): r["count"]
+                ("<null>" if r[col] is None else str(r[col])): r["count"]
                 for r in docs.groupBy(col).count().collect()
             }
     print(_json.dumps(rep, sort_keys=True))
@@ -399,7 +401,9 @@ def run_filter(args) -> int:
     the Gopher repetition rule set — each optional, all map-only
     (webprep.c4_line_filter, textstats.with_gopher_flags,
     repetition.with_gopher_repetition). ``--flags-only`` keeps every doc
-    and writes the flag columns instead of dropping."""
+    AND its original text column, writing flag columns instead of
+    dropping (C4 adds ``c4_text`` + ``c4_pass``; later gates score
+    ``c4_text`` so flags match what the dropping mode would keep)."""
     from pyspark.sql import functions as F
 
     from .sources.io import write_table
@@ -413,22 +417,32 @@ def run_filter(args) -> int:
     docs = spark.read.parquet(args.docs)
     n_in = docs.count()
     out = docs
+    # downstream gates read the C4-cleaned text when --c4 ran (the
+    # published order: line cleaning BEFORE document-level stats)
+    stats_col = args.text_col
     if args.c4:
         from .operators.webprep import c4_line_filter
 
-        out = c4_line_filter(out, text_col=args.text_col)
-        if not args.flags_only:
+        if args.flags_only:
+            # audit mode never rewrites the text column: cleaned text
+            # goes to c4_text plus a boolean, and later gates read
+            # c4_text so their flags match the dropping mode exactly
+            out = c4_line_filter(out, text_col=args.text_col, out_col="c4_text")
+            out = out.withColumn("c4_pass", F.length(F.col("c4_text")) > 0)
+            stats_col = "c4_text"
+        else:
+            out = c4_line_filter(out, text_col=args.text_col)
             out = out.filter(F.length(F.col(args.text_col)) > 0)
     if args.gopher:
         from .operators.textstats import with_gopher_flags
 
-        out = with_gopher_flags(out, args.text_col)
+        out = with_gopher_flags(out, stats_col)
         if not args.flags_only:
             out = out.filter(F.col("gopher_pass"))
     if args.gopher_rep:
         from .operators.repetition import with_gopher_repetition
 
-        out = with_gopher_repetition(out, args.text_col)
+        out = with_gopher_repetition(out, stats_col)
         if not args.flags_only:
             out = out.filter(F.col("gopher_rep_pass"))
     write_table(

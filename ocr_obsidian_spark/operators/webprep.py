@@ -456,13 +456,19 @@ def alpha_sample(
     per-group fractions, then the ``mix_corpus`` md5-bucket filter —
     map-only over the corpus, reproducible across runs/engines/
     parallelism, and the group count table is group-cardinality-sized
-    (languages, not documents) at any corpus scale."""
+    (languages, not documents) at any corpus scale.
+
+    NULL groups coalesce to ``''`` and are weighted as one explicit
+    group (the md5_bucket NULL-key convention) — never silently dropped,
+    consistent with this function's own zero-quantize guard."""
     import math
 
+    grp = "_alpha_grp"
+    work = df.withColumn(
+        grp, F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+    )
     counts = {
-        str(r[group_col]): r["count"]
-        for r in df.groupBy(group_col).count().collect()
-        if r[group_col] is not None
+        r[grp]: r["count"] for r in work.groupBy(grp).count().collect()
     }
     weights = alpha_sampling_weights(counts, alpha=alpha, keep_frac=keep_frac)
     # Quantize each fraction to bucket resolution, half-up, BEFORE the
@@ -479,8 +485,8 @@ def alpha_sample(
             f"raise `buckets` or `keep_frac` to express their weight"
         )
     return mix_corpus(
-        df, quant, source_col=group_col, key_col=key_col, buckets=buckets
-    )
+        work, quant, source_col=grp, key_col=key_col, buckets=buckets
+    ).drop(grp)
 
 
 def pack_shards(

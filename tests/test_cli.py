@@ -457,6 +457,21 @@ def test_filter_subcommand(tmp_path, spark):
     assert flagged.count() == 3
     assert {"gopher_pass", "gopher_rep_pass"} <= set(flagged.columns)
 
+    # --c4 --flags-only is an AUDIT: the original text column survives
+    # untouched, the cleaned text lands in c4_text, and a doc C4 would
+    # have emptied carries an explicit c4_pass=False
+    out3 = str(tmp_path / "f_c4flags")
+    assert main([
+        "filter", "--docs", src, "--out", out3, "--c4", "--flags-only",
+    ]) == 0
+    audited = spark.read.parquet(out3)
+    assert audited.count() == 3
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: r for r in audited.collect()}
+    assert {i: got[i]["text"] for i in orig} == orig
+    assert got[0]["c4_pass"] and got[0]["c4_text"]
+    assert not got[1]["c4_pass"] and got[1]["c4_text"] == ""
+
     assert main([
         "filter", "--docs", src, "--out", str(tmp_path / "f_none"),
     ]) == 3
@@ -467,7 +482,7 @@ def test_report_subcommand(tmp_path, spark, capsys):
 
     docs = spark.createDataFrame(
         [(0, "two words", "en", "s0"), (1, None, "de", "s0"),
-         (2, "a b c", "en", "s1")],
+         (2, "a b c", "en", "s1"), (3, "x", None, "s1")],
         ["doc_id", "text", "lang", "source"],
     )
     src = str(tmp_path / "r_docs")
@@ -478,8 +493,9 @@ def test_report_subcommand(tmp_path, spark, capsys):
         if ln.startswith("{")
     ][-1]
     rep = json.loads(line)
-    assert rep["n_docs"] == 3
+    assert rep["n_docs"] == 4
     assert rep["n_null_text"] == 1
-    assert rep["n_ws_tokens"] == 5
-    assert rep["by_lang"] == {"en": 2, "de": 1}
-    assert rep["by_source"] == {"s0": 2, "s1": 1}
+    assert rep["n_ws_tokens"] == 6
+    # NULL groups get a dedicated key, not Python's str(None)
+    assert rep["by_lang"] == {"en": 2, "de": 1, "<null>": 1}
+    assert rep["by_source"] == {"s0": 2, "s1": 2}

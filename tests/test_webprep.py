@@ -750,3 +750,10 @@ def test_alpha_sample_deterministic_and_boosts_rare(spark):
 
     with _pytest.raises(ValueError, match="quantize to 0"):
         alpha_sample(df, alpha=1.0, keep_frac=1e-5)
+    # NULL groups are never silently dropped: they coalesce to '' and
+    # are weighted as one explicit (here: rare, fully-kept) group
+    rows_n = [(i, "en" if i < 900 else None) for i in range(1000)]
+    dfn = spark.createDataFrame(rows_n, ["doc_id", "lang"])
+    kept_n = alpha_sample(dfn, alpha=0.0, keep_frac=0.4)
+    assert kept_n.filter("lang IS NULL").count() == 100
+    assert "_alpha_grp" not in kept_n.columns
