@@ -393,6 +393,45 @@ def run_report(args) -> int:
     return 0
 
 
+def run_prepare(args) -> int:
+    """documents table → training-ready corpus in ONE job: the composed
+    published pipeline (operators/recipe.py prepare_web_corpus) with the
+    per-stage survivor counters printed as one JSON line — the counters
+    ride the sink write via DataFrame.observe, so nothing re-reads the
+    corpus."""
+    import json as _json
+
+    from .operators.recipe import prepare_web_corpus
+    from .sources.io import write_table
+
+    if args.jaccard <= 0 or args.jaccard > 1:
+        raise ConfigError(f"--jaccard must be in (0, 1], got {args.jaccard}")
+    spark = _session(args)
+    _check_out(args.out, args.overwrite)
+    docs = spark.read.parquet(args.docs)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    langs = (
+        [s for s in args.langs.split(",") if s] if args.langs is not None else None
+    )
+    res = prepare_web_corpus(
+        docs,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        url_col=args.url_col,
+        langs=langs,
+        benchmark=bench,
+        jaccard_threshold=args.jaccard,
+        line_dedup_min_docs=args.min_line_docs or None,
+        keep_by=args.keep_by,
+        checkpoint="local",
+    )
+    write_table(
+        res.df, args.out, mode="overwrite" if args.overwrite == "always" else "error"
+    )
+    print(_json.dumps({"stages": res.counts(), "out": args.out}, sort_keys=True))
+    return 0
+
+
 def run_filter(args) -> int:
     """documents table → rule-filtered table (the published heuristic
     gates, CLI-composable like a Gopher/C4-style pipeline): C4 line
@@ -789,6 +828,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--docs", required=True, help="input documents parquet")
     p.add_argument("--text-col", default="text")
     p.set_defaults(handler=run_report)
+
+    p = sub.add_parser(
+        "prepare",
+        help="documents table → training-ready corpus (the full published "
+             "pipeline: url dedup → lang → Gopher → C4 → line/exact/near "
+             "dedup → decontaminate → PII), one job, stage counts printed.",
+    )
+    _add_common(p)
+    p.add_argument("--docs", required=True, help="input documents parquet")
+    p.add_argument("--out", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--url-col", default="url",
+                   help="url column for the first dedup pass (skipped if absent)")
+    p.add_argument("--langs", default=None,
+                   help="comma-separated language allowlist (default: attach "
+                        "lang_id, keep all)")
+    p.add_argument("--benchmark", default=None,
+                   help="eval-set parquet for k-shingle decontamination")
+    p.add_argument("--keep-by", default=None, choices=[None, "quality_score"],
+                   help="near-dedup representative rule (default: min id)")
+    p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--min-line-docs", type=int, default=2,
+                   help="cross-document line dedup threshold (0 disables)")
+    p.set_defaults(handler=run_prepare)
 
     p = sub.add_parser(
         "filter",

@@ -499,3 +499,40 @@ def test_report_subcommand(tmp_path, spark, capsys):
     # NULL groups get a dedicated key, not Python's str(None)
     assert rep["by_lang"] == {"en": 2, "de": 1, "<null>": 1}
     assert rep["by_source"] == {"s0": 2, "s1": 2}
+
+
+def test_prepare_subcommand(tmp_path, spark, capsys):
+    """The one-job composed pipeline from the CLI: stage counters printed
+    as JSON, prepared corpus written. Fixture and expected stage-by-stage
+    drops are shared with tests/test_recipe.py."""
+    import json
+
+    from test_recipe import CONTAM_LINE, _fixture_rows
+
+    docs = spark.createDataFrame(_fixture_rows(), ["doc_id", "url", "text"])
+    src = str(tmp_path / "p_docs")
+    docs.write.parquet(src)
+    benchp = str(tmp_path / "p_bench")
+    spark.createDataFrame([(0, CONTAM_LINE)], ["bid", "text"]).write.parquet(benchp)
+
+    out = str(tmp_path / "p_out")
+    assert main([
+        "prepare", "--docs", src, "--out", out, "--langs", "en",
+        "--benchmark", benchp, "--min-line-docs", "3",
+    ]) == 0
+    line = [
+        ln for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ][-1]
+    rep = json.loads(line)
+    assert rep["stages"]["input"] == 15
+    assert rep["stages"]["output"] == 7
+    prepared = spark.read.parquet(out)
+    assert prepared.count() == 7
+    assert {"lang_id", "quality_score"} <= set(prepared.columns)
+
+    # config error on a bad jaccard threshold, before any Spark work
+    assert main([
+        "prepare", "--docs", src, "--out", str(tmp_path / "p_bad"),
+        "--jaccard", "1.5",
+    ]) == 3
