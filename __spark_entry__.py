@@ -1136,6 +1136,20 @@ def q_url_canon_idn(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_prepare_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Bench-only body (NOT in the driver registry — every component is
+    individually oracled there): the composed one-job corpus recipe
+    (operators/recipe.py prepare_web_corpus — url dedup → lang → Gopher
+    shape+repetition → C4 → line/exact/near dedup → decontamination →
+    PII) end-to-end over the documents table, the pipeline a real
+    training-data run would execute per snapshot."""
+    from ocr_obsidian_spark.operators.recipe import prepare_web_corpus
+
+    docs = _docs_with_urls(spark, sf)
+    bench = docs.limit(5).select("doc_id", "text")
+    return prepare_web_corpus(docs, langs=None, benchmark=bench).df
+
+
 def q_mix_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted per-source corpus mixing (keep fractions per source,
     md5-bucket deterministic)."""

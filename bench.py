@@ -158,8 +158,10 @@ def main() -> None:
         # host-link graph)
         "quality_clf", "incremental_dedup", "page_rank",
         # round 5 (late): multilingual alpha-sampling (one tiny groupBy
-        # count to the driver + the map-only mix_corpus bucket filter)
-        "alpha_sample",
+        # count to the driver + the map-only mix_corpus bucket filter),
+        # then the composed one-job corpus recipe (url dedup → lang →
+        # Gopher → C4 → line/exact/near dedup → decontaminate → PII)
+        "alpha_sample", "prepare_corpus",
     ]
     if only and only != "extract":
         # targeted mode for scaling probes: comma-separated query names,
