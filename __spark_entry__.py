@@ -1136,16 +1136,47 @@ def q_url_canon_idn(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _crawlish_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """documents + synthetic urls, with the text SHAPED into crawl-like
+    prose: the sf tables carry single-line unpunctuated word salad, which
+    the C4 line gate vacuously empties (no terminal punctuation) — the
+    full-pipeline bench would then time a hollow tail. Shaping = break
+    into 12-word period-terminated lines and append one stopword-bearing
+    closing line, so every gate (C4 lines, Gopher shape + stopwords,
+    line/exact/near dedup) does real, corpus-proportional work.
+    spread=True because the downstream is UDF-heavy (lang NB +
+    repetition) and the sf scan is a single row group — see _t."""
+    d = _t(spark, sf, "documents", spread=True)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".test/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    d = d.withColumn("url", url)
+    shaped = F.concat(
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            r"((?:\S+ ){11}\S+) ",
+            "$1.\n",
+        ),
+        F.lit(".\nthe rest of the data is that we have it with care."),
+    )
+    return d.withColumn("text", shaped)
+
+
 def q_prepare_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """Bench-only body (NOT in the driver registry — every component is
     individually oracled there): the composed one-job corpus recipe
     (operators/recipe.py prepare_web_corpus — url dedup → lang → Gopher
     shape+repetition → C4 → line/exact/near dedup → decontamination →
-    PII) end-to-end over the documents table, the pipeline a real
-    training-data run would execute per snapshot."""
+    PII) end-to-end over the crawl-shaped documents table, the pipeline
+    a real training-data run would execute per snapshot."""
     from ocr_obsidian_spark.operators.recipe import prepare_web_corpus
 
-    docs = _docs_with_urls(spark, sf)
+    docs = _crawlish_docs(spark, sf)
     bench = docs.limit(5).select("doc_id", "text")
     return prepare_web_corpus(docs, langs=None, benchmark=bench).df
 

@@ -440,3 +440,41 @@ def test_bucketed_tables_join_and_aggregate_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS tb_docs")
         spark.sql("DROP TABLE IF EXISTS tb_emb")
+
+
+def test_recipe_final_plan_is_truncated_and_udf_free(spark):
+    """The composed recipe's FINAL plan (what the sink re-executes) must
+    start at the second checkpoint boundary: every Arrow/Python UDF
+    stage (lang NB, Gopher repetition) ran exactly once into the
+    boundary, so the final plan contains no Python evaluation at all,
+    no cartesian product, and only small-side exchanges (near-dedup
+    losers / contamination ids), never a corpus re-shuffle."""
+    from ocr_obsidian_spark.operators.recipe import prepare_web_corpus
+    from test_recipe import CONTAM_LINE, _fixture_rows
+
+    docs = spark.createDataFrame(_fixture_rows(), ["doc_id", "url", "text"])
+    bench = spark.createDataFrame([(0, CONTAM_LINE)], ["bid", "text"])
+    res = prepare_web_corpus(
+        docs, langs=["en"], line_dedup_min_docs=3, benchmark=bench
+    )
+    p = plan_str(res.df, mode="simple")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p
+    # corpus side reads from the checkpoint scan, not the original source
+    assert "Scan ExistingRDD" in p
+    # the static plan carries ENSURE_REQUIREMENTS sort-merge anti-joins;
+    # at runtime AQE broadcasts the tiny build sides (near-dup losers,
+    # contaminated ids) — assert on the FINAL adaptive plan: both
+    # anti-joins became broadcast joins. AQE materializes the originally
+    # planned shuffle stages before re-planning and then reads them
+    # locally (AQEShuffleRead local) — those stages appear as exchanges
+    # in the text but no longer repartition anything across the cluster,
+    # so bound the count instead of requiring zero.
+    res.df.collect()  # count() would plan a DIFFERENT QueryExecution
+    pf = plan_str(res.df, mode="simple")
+    assert "isFinalPlan=true" in pf
+    final = pf.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 2, final
+    assert "SortMergeJoin" not in final, final
+    assert "ArrowEvalPython" not in final and "BatchEvalPython" not in final
+    assert final.count("Exchange hashpartitioning") <= 4, final
