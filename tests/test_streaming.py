@@ -164,3 +164,84 @@ def test_stream_dedup_drops_in_horizon_duplicates(spark, fixture_pages, dirs, tm
     got = spark.read.parquet(out)
     assert got.count() == 10
     assert got.select("url").distinct().count() == 10
+
+
+def test_stream_gate_documents_equals_batch_gates(spark, tmp_path):
+    """The streaming gate chain must produce EXACTLY the batch gate
+    prefix's keep-set on the same input (same operators, same order) —
+    the stream-the-gates / batch-the-dedup split is only sound if the
+    gates themselves are arrival-invariant."""
+    from pyspark.sql import functions as F
+
+    from ocr_obsidian_spark.streaming.stream_webprep import stream_gate_documents
+    from test_recipe import _fixture_rows
+
+    docs = spark.createDataFrame(_fixture_rows(), ["doc_id", "url", "text"])
+    src = str(tmp_path / "sg_in")
+    # two files -> at least two micro-batch-able splits
+    docs.repartition(2).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    gated = stream_gate_documents(stream, langs=["en"])
+    out = str(tmp_path / "sg_out")
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sg_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = stream_gate_documents(docs, langs=["en"])
+    got = spark.read.parquet(out)
+    assert {r["doc_id"] for r in got.collect()} == {
+        r["doc_id"] for r in batch.collect()
+    }
+    # rows, not just ids: gated text and lang ride through identically
+    assert {
+        (r["doc_id"], r["text"], r["lang_id"]) for r in got.collect()
+    } == {(r["doc_id"], r["text"], r["lang_id"]) for r in batch.collect()}
+    assert got.count() > 0
+
+
+def test_stream_dedup_documents_content_hash(spark, tmp_path):
+    """Streaming exact-content dedup: same-content docs (different ids,
+    whitespace-variant text — the NORMALIZED key) collapse within the
+    watermark horizon."""
+    import datetime
+
+    from ocr_obsidian_spark.streaming.stream_webprep import stream_dedup_documents
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (0, t0, "the same document text."),
+        (1, t0, "the  same   document text."),   # normalized duplicate
+        (2, t0, "a different document text."),
+        (3, t0, "the same document text."),       # exact duplicate
+    ]
+    src = str(tmp_path / "sd_in")
+    spark.createDataFrame(
+        rows, "doc_id long, warc_ts timestamp, text string"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, warc_ts timestamp, text string"
+    ).parquet(src)
+    out = str(tmp_path / "sd_out")
+    q = (
+        stream_dedup_documents(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sd_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    texts = {r["text"] for r in got.collect()}
+    assert "a different document text." in texts
