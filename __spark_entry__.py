@@ -1156,15 +1156,22 @@ def _crawlish_docs(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").cast("string"),
     )
     d = d.withColumn("url", url)
-    shaped = F.concat(
+    return d.withColumn("text", crawl_shape(F.col("text")))
+
+
+def crawl_shape(text: F.Column) -> F.Column:
+    """The one shaping rule (shared with scripts/recipe_scaling_probe.py
+    so the floor and the scaling ledger always measure the SAME
+    pipeline): 12-word period-terminated lines + a stopword-bearing
+    closing line."""
+    return F.concat(
         F.regexp_replace(
-            F.coalesce(F.col("text"), F.lit("")),
+            F.coalesce(text, F.lit("")),
             r"((?:\S+ ){11}\S+) ",
             "$1.\n",
         ),
         F.lit(".\nthe rest of the data is that we have it with care."),
     )
-    return d.withColumn("text", shaped)
 
 
 def q_prepare_corpus(spark: SparkSession, sf: str) -> DataFrame:

@@ -406,13 +406,26 @@ def run_prepare(args) -> int:
 
     if args.jaccard <= 0 or args.jaccard > 1:
         raise ConfigError(f"--jaccard must be in (0, 1], got {args.jaccard}")
+    langs = (
+        [s for s in args.langs.split(",") if s.strip()]
+        if args.langs is not None
+        else None
+    )
+    if langs is not None and not langs:
+        # --langs "" would otherwise filter isin([]) and silently drop
+        # the ENTIRE corpus with exit code 0
+        raise ConfigError(
+            "--langs parsed to an empty allowlist; omit the flag to keep "
+            "all languages"
+        )
+    if args.checkpoint == "reliable" and not args.checkpoint_dir:
+        raise ConfigError("--checkpoint reliable requires --checkpoint-dir")
     spark = _session(args)
+    if args.checkpoint == "reliable":
+        spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
     _check_out(args.out, args.overwrite)
     docs = spark.read.parquet(args.docs)
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
-    langs = (
-        [s for s in args.langs.split(",") if s] if args.langs is not None else None
-    )
     res = prepare_web_corpus(
         docs,
         text_col=args.text_col,
@@ -423,7 +436,7 @@ def run_prepare(args) -> int:
         jaccard_threshold=args.jaccard,
         line_dedup_min_docs=args.min_line_docs or None,
         keep_by=args.keep_by,
-        checkpoint="local",
+        checkpoint=args.checkpoint,
     )
     write_table(
         res.df, args.out, mode="overwrite" if args.overwrite == "always" else "error"
@@ -852,6 +865,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jaccard", type=float, default=0.8)
     p.add_argument("--min-line-docs", type=int, default=2,
                    help="cross-document line dedup threshold (0 disables)")
+    p.add_argument("--checkpoint", default="local",
+                   choices=["local", "reliable"],
+                   help="stage-boundary mode: local (fastest; truncated "
+                        "blocks die with an executor) or reliable (cluster "
+                        "setting — survives executor loss; needs "
+                        "--checkpoint-dir)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="fault-tolerant checkpoint directory for "
+                        "--checkpoint reliable")
     p.set_defaults(handler=run_prepare)
 
     p = sub.add_parser(

@@ -69,6 +69,49 @@ class PrepareResult:
         return {k: int(o.get["n"]) for k, o in self.observations.items()}
 
 
+def gate_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    langs: list[str] | None = None,
+    gopher: bool = True,
+    gopher_rep: bool = True,
+    c4: bool = True,
+    mark=lambda stage, d: d,
+) -> DataFrame:
+    """The pipeline's stateless gate chain — lang gate → Gopher shape →
+    Gopher repetition → C4 lines — as ONE shared implementation: the
+    batch recipe threads its observe counters through ``mark`` and the
+    streaming prefix (streaming/stream_webprep.py) applies it verbatim,
+    so the two can never silently diverge. Output columns: the input's
+    plus ``lang_id``."""
+    out = with_language(df, text_col=text_col)
+    if langs is not None:
+        out = mark("lang", out.filter(F.col("lang_id").isin(list(langs))))
+    if gopher:
+        out = mark(
+            "gopher",
+            with_gopher_flags(out, text_col).filter(F.col("gopher_pass")),
+        )
+    if gopher_rep:
+        out = mark(
+            "gopher_rep",
+            with_gopher_repetition(out, text_col).filter(
+                F.col("gopher_rep_pass")
+            ),
+        )
+    if c4:
+        out = mark(
+            "c4",
+            c4_line_filter(out, text_col=text_col).filter(
+                F.length(F.col(text_col)) > 0
+            ),
+        )
+    return out.select(
+        *df.columns, *(c for c in ("lang_id",) if c not in df.columns)
+    )
+
+
 def prepare_web_corpus(
     df: DataFrame,
     *,
@@ -112,31 +155,17 @@ def prepare_web_corpus(
         out = mark(
             "url_dedup", drop_url_duplicates(out, url_col=url_col, id_col=id_col)
         )
-    out = with_language(out, text_col=text_col)
-    if langs is not None:
-        out = mark("lang", out.filter(F.col("lang_id").isin(list(langs))))
-    if gopher:
-        out = mark(
-            "gopher",
-            with_gopher_flags(out, text_col).filter(F.col("gopher_pass")),
-        )
-    if gopher_rep:
-        out = mark(
-            "gopher_rep",
-            with_gopher_repetition(out, text_col).filter(
-                F.col("gopher_rep_pass")
-            ),
-        )
-    if c4:
-        out = mark(
-            "c4",
-            c4_line_filter(out, text_col=text_col).filter(
-                F.length(F.col(text_col)) > 0
-            ),
-        )
-    # prune the gate working columns before the first stage boundary:
-    # only the input columns + lang_id are materialized
-    out = out.select(*df.columns, *(c for c in ("lang_id",) if c not in df.columns))
+    # the shared gate chain already prunes to input columns + lang_id,
+    # so only those are materialized at the first stage boundary
+    out = gate_documents(
+        out,
+        text_col=text_col,
+        langs=langs,
+        gopher=gopher,
+        gopher_rep=gopher_rep,
+        c4=c4,
+        mark=mark,
+    )
     if checkpoint:
         out = truncate_lineage(out, checkpoint)
     if line_dedup_min_docs:

@@ -22,10 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.langid import with_language
-from ..operators.repetition import with_gopher_repetition
-from ..operators.textstats import with_gopher_flags
-from ..operators.webprep import c4_line_filter
+from ..operators.recipe import gate_documents
 
 
 def stream_gate_documents(
@@ -37,24 +34,18 @@ def stream_gate_documents(
     gopher_rep: bool = True,
     c4: bool = True,
 ) -> DataFrame:
-    """The recipe's gate chain (same order, same operators) as a
-    streaming transform: lang gate → Gopher shape → Gopher repetition →
-    C4 lines. Output columns: the input's + ``lang_id``."""
-    out = with_language(docs, text_col=text_col)
-    if langs is not None:
-        out = out.filter(F.col("lang_id").isin(list(langs)))
-    if gopher:
-        out = with_gopher_flags(out, text_col).filter(F.col("gopher_pass"))
-    if gopher_rep:
-        out = with_gopher_repetition(out, text_col).filter(
-            F.col("gopher_rep_pass")
-        )
-    if c4:
-        out = c4_line_filter(out, text_col=text_col).filter(
-            F.length(F.col(text_col)) > 0
-        )
-    return out.select(
-        *docs.columns, *(c for c in ("lang_id",) if c not in docs.columns)
+    """The recipe's gate chain as a streaming transform — literally the
+    SAME implementation (operators/recipe.py gate_documents, stateless
+    maps only), so the streaming prefix can never silently diverge from
+    the batch recipe's keep-set. Output columns: the input's +
+    ``lang_id``."""
+    return gate_documents(
+        docs,
+        text_col=text_col,
+        langs=langs,
+        gopher=gopher,
+        gopher_rep=gopher_rep,
+        c4=c4,
     )
 
 
@@ -72,6 +63,10 @@ def stream_dedup_documents(
     a batch job."""
     from ..operators.dedup import normalized_text
 
+    if "_chash" in docs.columns:
+        # the working column would silently overwrite-then-drop the
+        # caller's data; _-prefixed working columns assume absence
+        raise ValueError("input already has a _chash column; rename it")
     keyed = docs.withColumn("_chash", F.sha2(normalized_text(text_col), 256))
     return (
         keyed.withWatermark(ts_col, watermark)

@@ -55,21 +55,15 @@ def sample(cpus: int) -> dict:
             F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
         ).collect()[0]["n"]
 
+    from __spark_entry__ import crawl_shape
+
     def load(sf_dir, replicate):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        # crawl-shape FIRST (same rule as __spark_entry__._crawlish_docs:
-        # the sf text is single-line unpunctuated word salad, which the
-        # C4 gate vacuously empties — an unshaped probe times a hollow
+        # crawl-shape FIRST, via the SHARED rule (the sf text is
+        # single-line unpunctuated word salad, which the C4 gate
+        # vacuously empties — an unshaped probe times a hollow
         # pipeline, docs_out = 0), THEN perturb per replica
-        shaped = F.concat(
-            F.regexp_replace(
-                F.coalesce(F.col("text"), F.lit("")),
-                r"((?:\S+ ){11}\S+) ",
-                "$1.\n",
-            ),
-            F.lit(".\nthe rest of the data is that we have it with care."),
-        )
-        docs = docs.withColumn("text", shaped)
+        docs = docs.withColumn("text", crawl_shape(F.col("text")))
         copies = []
         for k in range(replicate):
             tok = f"r{k}"
@@ -148,6 +142,10 @@ def main() -> None:
             append(cpus, d)
             print(f"  {d}", file=sys.stderr)
 
+    if not LEDGER.exists():
+        print("no sample succeeded; see the per-sample errors above",
+              file=sys.stderr)
+        return
     ledger = json.loads(LEDGER.read_text())
     best = {}
     for c in LEVELS:

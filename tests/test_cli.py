@@ -531,8 +531,18 @@ def test_prepare_subcommand(tmp_path, spark, capsys):
     assert prepared.count() == 7
     assert {"lang_id", "quality_score"} <= set(prepared.columns)
 
-    # config error on a bad jaccard threshold, before any Spark work
+    # config errors, all raised before any Spark work: bad jaccard, an
+    # empty --langs allowlist (would silently drop the whole corpus),
+    # reliable checkpointing without a directory
     assert main([
         "prepare", "--docs", src, "--out", str(tmp_path / "p_bad"),
         "--jaccard", "1.5",
+    ]) == 3
+    assert main([
+        "prepare", "--docs", src, "--out", str(tmp_path / "p_bad2"),
+        "--langs", "",
+    ]) == 3
+    assert main([
+        "prepare", "--docs", src, "--out", str(tmp_path / "p_bad3"),
+        "--checkpoint", "reliable",
     ]) == 3
