@@ -389,6 +389,12 @@ def run_report(args) -> int:
                 ("<null>" if r[col] is None else str(r[col])): r["count"]
                 for r in docs.groupBy(col).count().collect()
             }
+    if args.approx:
+        # the sketch profile (HLL distincts + GK quantiles) — the 100 TB
+        # path, where exact distinct counts would each shuffle the corpus
+        from .operators.textstats import profile_corpus
+
+        rep["profile"] = profile_corpus(docs, text_col=args.text_col)
     print(_json.dumps(rep, sort_keys=True))
     return 0
 
@@ -840,6 +846,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(p)
     p.add_argument("--docs", required=True, help="input documents parquet")
     p.add_argument("--text-col", default="text")
+    p.add_argument("--approx", action="store_true",
+                   help="add the sketch profile (HLL distinct contents/"
+                        "hosts, doc-length quantiles, top hosts) — the "
+                        "scale-safe stats exact groupBys can't give")
     p.set_defaults(handler=run_report)
 
     p = sub.add_parser(

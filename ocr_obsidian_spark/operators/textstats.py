@@ -378,3 +378,67 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("top_bigram_frac", F.round(top_bigram_frac, 6))
         .drop("_lines", "_toks", "_grams")
     )
+
+
+def profile_corpus(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    url_col: str | None = "url",
+    rsd: float = 0.02,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    top_hosts: int = 10,
+) -> dict:
+    """Sketch-based corpus profile — the 100 TB-safe twin of the exact
+    `report` stage: HyperLogLog++ distinct counts (approx_count_distinct,
+    error controlled by ``rsd``) for distinct normalized contents and
+    distinct hosts, Greenwald-Khanna doc-length quantiles
+    (percentile_approx). All three are single-pass, partial-aggregable
+    sketches that merge map-side — the corpus's raw values never
+    shuffle; exact distinct counts at 10^12 docs would each be a
+    corpus-wide exchange. The top-host table is the ONLY hash shuffle
+    and it moves host-cardinality rows, not documents. Returns a plain
+    driver-side dict (group-cardinality-sized)."""
+    from .dedup import normalized_text
+
+    n_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_chars).alias("n_chars"),
+        F.sum(F.col(text_col).isNull().cast("long")).alias("n_null_text"),
+        F.approx_count_distinct(
+            F.sha2(normalized_text(text_col), 256), rsd
+        ).alias("approx_distinct_contents"),
+        F.percentile_approx(
+            n_chars.cast("double"), list(quantiles), 10_000
+        ).alias("len_q"),
+    ]
+    host = None
+    if url_col and url_col in df.columns:
+        from .webprep import extract_domain
+
+        host = extract_domain(url_col)
+        aggs.append(
+            F.approx_count_distinct(host, rsd).alias("approx_distinct_hosts")
+        )
+    row = df.agg(*aggs).collect()[0]
+    prof = {
+        "n_docs": int(row["n_docs"]),
+        "n_chars": int(row["n_chars"] or 0),
+        "n_null_text": int(row["n_null_text"] or 0),
+        "approx_distinct_contents": int(row["approx_distinct_contents"]),
+        "len_quantiles": {
+            str(q): float(v) for q, v in zip(quantiles, row["len_q"] or [])
+        },
+    }
+    if host is not None:
+        prof["approx_distinct_hosts"] = int(row["approx_distinct_hosts"])
+        top = (
+            df.groupBy(host.alias("host"))
+            .count()
+            .orderBy(F.col("count").desc(), F.col("host"))
+            .limit(int(top_hosts))
+            .collect()
+        )
+        prof["top_hosts"] = {r["host"]: int(r["count"]) for r in top}
+    return prof

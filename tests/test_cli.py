@@ -500,6 +500,19 @@ def test_report_subcommand(tmp_path, spark, capsys):
     assert rep["by_lang"] == {"en": 2, "de": 1, "<null>": 1}
     assert rep["by_source"] == {"s0": 2, "s1": 2}
 
+    # --approx adds the sketch profile (no url column here, so only the
+    # content/length sketches)
+    assert main(["report", "--docs", src, "--approx"]) == 0
+    line = [
+        ln for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ][-1]
+    prof = json.loads(line)["profile"]
+    assert prof["n_docs"] == 4
+    assert prof["approx_distinct_contents"] == 4  # 3 texts + null->''
+    assert "0.5" in prof["len_quantiles"]
+    assert "top_hosts" not in prof
+
 
 def test_prepare_subcommand(tmp_path, spark, capsys):
     """The one-job composed pipeline from the CLI: stage counters printed

@@ -328,3 +328,69 @@ def test_gopher_repetition_numpy_path_matches_counter():
         _ngram_stats_counter(toks, m, len(norm), a)
         _ngram_stats_numpy(toks, m, len(norm), b)
         assert a == b, (trial, m)
+
+
+def test_profile_corpus_sketches_match_exact_on_fixture(spark):
+    """The sketch profile's HLL distinct counts must land within the
+    configured rsd of the exact answers on a corpus with KNOWN
+    cardinalities (at fixture scale HLL++ is near-exact), quantiles
+    within the neighboring exact order statistics, and the top-host
+    table exact."""
+    from pyspark.sql import functions as F
+
+    from ocr_obsidian_spark.operators.textstats import profile_corpus
+
+    rows = []
+    for i in range(300):
+        # 60 distinct contents (each repeated 5x), 7 hosts, skewed
+        rows.append(
+            (
+                i,
+                f"https://h{i % 7}.test/d/{i}",
+                ("document body number %d. " % (i % 60)) * ((i % 60) + 1),
+            )
+        )
+    rows.append((9000, None, None))  # null url + null text ride through
+    df = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    prof = profile_corpus(df, rsd=0.02, top_hosts=3)
+    assert prof["n_docs"] == 301
+    assert prof["n_null_text"] == 1
+    # 60 distinct non-null contents + the null/'' group
+    assert abs(prof["approx_distinct_contents"] - 61) <= 2
+    # 7 hosts + '' for the null url
+    assert abs(prof["approx_distinct_hosts"] - 8) <= 1
+    exact_hosts = {
+        r["host"]: r["count"]
+        for r in df.groupBy(
+            F.lower(F.regexp_extract(F.coalesce("url", F.lit("")), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)).alias("host")
+        ).count().collect()
+    }
+    for h, c in prof["top_hosts"].items():
+        assert exact_hosts[h] == c, h
+    assert len(prof["top_hosts"]) == 3
+    # quantiles: within the exact value range, ordered
+    q = prof["len_quantiles"]
+    assert q["0.5"] <= q["0.9"] <= q["0.99"]
+    lens = sorted(
+        r[0] for r in df.select(F.length(F.coalesce("text", F.lit("")))).collect()
+    )
+    assert lens[0] <= q["0.5"] <= lens[-1]
+
+
+def test_profile_corpus_single_pass_plan(spark):
+    """The sketch aggregate is ONE partial-aggregable pass: the corpus's
+    raw values never hash-shuffle (only the sketch merge exchange),
+    pinned via the plan of the agg the profiler runs."""
+    from pyspark.sql import functions as F
+
+    from ocr_obsidian_spark.operators.dedup import normalized_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.sha2(normalized_text("text"), 256), 0.02).alias("d"),
+        F.percentile_approx(F.length("text").cast("double"), [0.5], 10_000).alias("q"),
+    )
+    p = agg._jdf.queryExecution().executedPlan().toString()
+    assert "partial_approx_count_distinct" in p or "HashAggregate" in p
+    assert "Exchange hashpartitioning" not in p  # single-partition merge only
