@@ -399,6 +399,50 @@ def run_report(args) -> int:
     return 0
 
 
+def run_sample(args) -> int:
+    """documents table → deterministically sampled table: md5-bucket
+    hash sampling (``--mode hash --pct``, reproducible and nestable —
+    a 10% sample is a subset of the 40% one) or multilingual
+    alpha-sampling (``--mode alpha``: Conneau et al. 2020 temperature
+    re-weighting over a group column, rare groups boosted, waterfilled
+    1.0 caps). Both are map-only over the corpus; alpha adds one
+    group-cardinality count to the driver."""
+    from .sources.io import write_table
+
+    spark = _session(args)
+    _check_out(args.out, args.overwrite)
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+    if args.mode == "hash":
+        if args.pct is None:
+            raise ConfigError("sample --mode hash requires --pct")
+        from .operators.webprep import hash_sample
+
+        key = args.key_col or ("url" if "url" in docs.columns else args.id_col)
+        out = hash_sample(docs, args.pct, key_col=key)
+    else:
+        from .operators.webprep import alpha_sample
+
+        if args.group_col not in docs.columns:
+            raise ConfigError(
+                f"sample --mode alpha: group column {args.group_col!r} "
+                "not in the input"
+            )
+        out = alpha_sample(
+            docs,
+            alpha=args.alpha,
+            keep_frac=args.keep_frac,
+            group_col=args.group_col,
+            key_col=args.key_col or args.id_col,
+        )
+    write_table(
+        out, args.out, mode="overwrite" if args.overwrite == "always" else "error"
+    )
+    n_out = spark.read.parquet(args.out).count()
+    print(f"sample: {n_in} → {n_out} docs at {args.out}")
+    return 0
+
+
 def run_prepare(args) -> int:
     """documents table → training-ready corpus in ONE job: the composed
     published pipeline (operators/recipe.py prepare_web_corpus) with the
@@ -851,6 +895,30 @@ def build_parser() -> argparse.ArgumentParser:
                         "hosts, doc-length quantiles, top hosts) — the "
                         "scale-safe stats exact groupBys can't give")
     p.set_defaults(handler=run_report)
+
+    p = sub.add_parser(
+        "sample",
+        help="documents table → deterministic sample (md5-bucket hash "
+             "or multilingual alpha temperature re-weighting).",
+    )
+    _add_common(p)
+    p.add_argument("--docs", required=True, help="input documents parquet")
+    p.add_argument("--out", required=True)
+    p.add_argument("--mode", default="hash", choices=["hash", "alpha"])
+    p.add_argument("--pct", type=float, default=None,
+                   help="hash mode: keep fraction in (0, 1]")
+    p.add_argument("--alpha", type=float, default=0.3,
+                   help="alpha mode: temperature (0=equal kept counts, "
+                        "1=proportional; 0.3 = the published XLM-R value)")
+    p.add_argument("--keep-frac", type=float, default=0.5,
+                   help="alpha mode: total corpus fraction to keep")
+    p.add_argument("--group-col", default="lang",
+                   help="alpha mode: group column (language)")
+    p.add_argument("--key-col", default=None,
+                   help="bucket key column (default: url if present, "
+                        "else --id-col)")
+    p.add_argument("--id-col", default="doc_id")
+    p.set_defaults(handler=run_sample)
 
     p = sub.add_parser(
         "prepare",

@@ -559,3 +559,51 @@ def test_prepare_subcommand(tmp_path, spark, capsys):
         "prepare", "--docs", src, "--out", str(tmp_path / "p_bad3"),
         "--checkpoint", "reliable",
     ]) == 3
+
+
+def test_sample_subcommand_hash_and_alpha(tmp_path, spark):
+    """Both sampling modes from the CLI: hash nesting determinism and
+    alpha's rare-group boost, plus the library-equivalence checks."""
+    from pyspark.sql import functions as F
+
+    from ocr_obsidian_spark.operators.webprep import alpha_sample, hash_sample
+
+    rows = [(i, "en" if i < 900 else "sw") for i in range(1000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    src = str(tmp_path / "s_docs")
+    docs.write.parquet(src)
+
+    out_h = str(tmp_path / "s_hash")
+    assert main([
+        "sample", "--docs", src, "--out", out_h, "--mode", "hash",
+        "--pct", "0.25",
+    ]) == 0
+    got_h = {r["doc_id"] for r in spark.read.parquet(out_h).collect()}
+    exp_h = {
+        r["doc_id"]
+        for r in hash_sample(docs, 0.25, key_col="doc_id").collect()
+    }
+    assert got_h == exp_h
+
+    out_a = str(tmp_path / "s_alpha")
+    assert main([
+        "sample", "--docs", src, "--out", out_a, "--mode", "alpha",
+        "--alpha", "0.0", "--keep-frac", "0.4",
+    ]) == 0
+    got_a = spark.read.parquet(out_a)
+    # rare group fully kept (caps at 1.0)
+    assert got_a.filter(F.col("lang") == "sw").count() == 100
+    exp_a = {
+        r["doc_id"]
+        for r in alpha_sample(docs, alpha=0.0, keep_frac=0.4).collect()
+    }
+    assert {r["doc_id"] for r in got_a.collect()} == exp_a
+
+    # config errors: hash without --pct; alpha with a missing group col
+    assert main([
+        "sample", "--docs", src, "--out", str(tmp_path / "s_bad"),
+    ]) == 3
+    assert main([
+        "sample", "--docs", src, "--out", str(tmp_path / "s_bad2"),
+        "--mode", "alpha", "--group-col", "nope",
+    ]) == 3
