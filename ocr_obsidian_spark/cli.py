@@ -394,7 +394,11 @@ def run_report(args) -> int:
         # path, where exact distinct counts would each shuffle the corpus
         from .operators.textstats import profile_corpus
 
-        rep["profile"] = profile_corpus(docs, text_col=args.text_col)
+        # the exact aggregate above already carries n_docs/n_chars/
+        # n_null_text — the sketch pass adds only the sketch columns
+        rep["profile"] = profile_corpus(
+            docs, text_col=args.text_col, include_counts=False
+        )
     print(_json.dumps(rep, sort_keys=True))
     return 0
 
@@ -409,31 +413,42 @@ def run_sample(args) -> int:
     group-cardinality count to the driver."""
     from .sources.io import write_table
 
-    spark = _session(args)
-    _check_out(args.out, args.overwrite)
-    docs = spark.read.parquet(args.docs)
-    n_in = docs.count()
+    # cheap validation BEFORE any Spark work (the run_dedup rule): a
+    # config typo must not cost a session start + full corpus scan
     if args.mode == "hash":
         if args.pct is None:
             raise ConfigError("sample --mode hash requires --pct")
+        # hash_sample counts in BUCKET units — convert the documented
+        # fraction at 1/10000 resolution (0.25 -> 2500 of 10000)
+        n_keep = round(args.pct * 10_000)
+        if not (0.0 < args.pct <= 1.0) or n_keep < 1:
+            raise ConfigError(
+                f"--pct must be a keep fraction in (0, 1], got {args.pct}"
+            )
+    spark = _session(args)
+    _check_out(args.out, args.overwrite)
+    docs = spark.read.parquet(args.docs)
+    # schema-only checks before the expensive count
+    key = args.key_col or ("url" if "url" in docs.columns else args.id_col)
+    if args.mode == "alpha" and args.group_col not in docs.columns:
+        raise ConfigError(
+            f"sample --mode alpha: group column {args.group_col!r} "
+            "not in the input"
+        )
+    n_in = docs.count()
+    if args.mode == "hash":
         from .operators.webprep import hash_sample
 
-        key = args.key_col or ("url" if "url" in docs.columns else args.id_col)
-        out = hash_sample(docs, args.pct, key_col=key)
+        out = hash_sample(docs, n_keep, key_col=key, buckets=10_000)
     else:
         from .operators.webprep import alpha_sample
 
-        if args.group_col not in docs.columns:
-            raise ConfigError(
-                f"sample --mode alpha: group column {args.group_col!r} "
-                "not in the input"
-            )
         out = alpha_sample(
             docs,
             alpha=args.alpha,
             keep_frac=args.keep_frac,
             group_col=args.group_col,
-            key_col=args.key_col or args.id_col,
+            key_col=key,
         )
     write_table(
         out, args.out, mode="overwrite" if args.overwrite == "always" else "error"

@@ -388,6 +388,7 @@ def profile_corpus(
     rsd: float = 0.02,
     quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
     top_hosts: int = 10,
+    include_counts: bool = True,
 ) -> dict:
     """Sketch-based corpus profile — the 100 TB-safe twin of the exact
     `report` stage: HyperLogLog++ distinct counts (approx_count_distinct,
@@ -398,14 +399,16 @@ def profile_corpus(
     shuffle; exact distinct counts at 10^12 docs would each be a
     corpus-wide exchange. The top-host table is the ONLY hash shuffle
     and it moves host-cardinality rows, not documents. Returns a plain
-    driver-side dict (group-cardinality-sized)."""
+    driver-side dict (group-cardinality-sized).
+
+    ``include_counts=False`` drops the exact n_docs/n_chars/n_null_text
+    columns for callers that already computed them in their own pass
+    (the `report --approx` CLI) — the sketch agg then carries only the
+    sketch columns."""
     from .dedup import normalized_text
 
     n_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
     aggs = [
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(n_chars).alias("n_chars"),
-        F.sum(F.col(text_col).isNull().cast("long")).alias("n_null_text"),
         F.approx_count_distinct(
             F.sha2(normalized_text(text_col), 256), rsd
         ).alias("approx_distinct_contents"),
@@ -413,24 +416,37 @@ def profile_corpus(
             n_chars.cast("double"), list(quantiles), 10_000
         ).alias("len_q"),
     ]
+    if include_counts:
+        aggs = [
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_chars).alias("n_chars"),
+            F.sum(F.col(text_col).isNull().cast("long")).alias("n_null_text"),
+        ] + aggs
     host = None
     if url_col and url_col in df.columns:
         from .webprep import extract_domain
 
-        host = extract_domain(url_col)
+        # NULL urls get the '' host group (the md5_bucket convention) —
+        # a bare None key would poison sorted-JSON consumers and drop
+        # the rows from the distinct-host sketch
+        host = F.coalesce(extract_domain(url_col), F.lit(""))
         aggs.append(
             F.approx_count_distinct(host, rsd).alias("approx_distinct_hosts")
         )
     row = df.agg(*aggs).collect()[0]
     prof = {
-        "n_docs": int(row["n_docs"]),
-        "n_chars": int(row["n_chars"] or 0),
-        "n_null_text": int(row["n_null_text"] or 0),
         "approx_distinct_contents": int(row["approx_distinct_contents"]),
         "len_quantiles": {
             str(q): float(v) for q, v in zip(quantiles, row["len_q"] or [])
         },
     }
+    if include_counts:
+        prof = {
+            "n_docs": int(row["n_docs"]),
+            "n_chars": int(row["n_chars"] or 0),
+            "n_null_text": int(row["n_null_text"] or 0),
+            **prof,
+        }
     if host is not None:
         prof["approx_distinct_hosts"] = int(row["approx_distinct_hosts"])
         top = (

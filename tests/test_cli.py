@@ -508,7 +508,8 @@ def test_report_subcommand(tmp_path, spark, capsys):
         if ln.startswith("{")
     ][-1]
     prof = json.loads(line)["profile"]
-    assert prof["n_docs"] == 4
+    # exact counts stay top-level only (the sketch pass skips them)
+    assert "n_docs" not in prof
     assert prof["approx_distinct_contents"] == 4  # 3 texts + null->''
     assert "0.5" in prof["len_quantiles"]
     assert "top_hosts" not in prof
@@ -579,9 +580,15 @@ def test_sample_subcommand_hash_and_alpha(tmp_path, spark):
         "--pct", "0.25",
     ]) == 0
     got_h = {r["doc_id"] for r in spark.read.parquet(out_h).collect()}
+    # NOT vacuous: a quarter of 1000 docs, within md5-bucket variance
+    # (hash_sample counts in bucket units — the CLI converts the
+    # documented fraction at 1/10000 resolution)
+    assert 150 < len(got_h) < 350
     exp_h = {
         r["doc_id"]
-        for r in hash_sample(docs, 0.25, key_col="doc_id").collect()
+        for r in hash_sample(
+            docs, 2500, key_col="doc_id", buckets=10_000
+        ).collect()
     }
     assert got_h == exp_h
 
@@ -599,9 +606,14 @@ def test_sample_subcommand_hash_and_alpha(tmp_path, spark):
     }
     assert {r["doc_id"] for r in got_a.collect()} == exp_a
 
-    # config errors: hash without --pct; alpha with a missing group col
+    # config errors: hash without --pct; an out-of-range fraction; alpha
+    # with a missing group col
     assert main([
         "sample", "--docs", src, "--out", str(tmp_path / "s_bad"),
+    ]) == 3
+    assert main([
+        "sample", "--docs", src, "--out", str(tmp_path / "s_bad1"),
+        "--mode", "hash", "--pct", "25",
     ]) == 3
     assert main([
         "sample", "--docs", src, "--out", str(tmp_path / "s_bad2"),

@@ -375,6 +375,16 @@ def test_profile_corpus_sketches_match_exact_on_fixture(spark):
         r[0] for r in df.select(F.length(F.coalesce("text", F.lit("")))).collect()
     )
     assert lens[0] <= q["0.5"] <= lens[-1]
+    # NULL urls group under '' (never a None key — sorted-JSON consumers
+    # would crash on mixed None/str keys) and the dict is JSON-safe
+    import json as _json
+
+    prof_all = profile_corpus(df, top_hosts=10)
+    assert "" in prof_all["top_hosts"]
+    _json.dumps(prof_all, sort_keys=True)
+    # include_counts=False drops exactly the exact-count keys
+    slim = profile_corpus(df, include_counts=False)
+    assert "n_docs" not in slim and "approx_distinct_contents" in slim
 
 
 def test_profile_corpus_single_pass_plan(spark):
