@@ -286,7 +286,7 @@ def q_regex_filter(spark: SparkSession, sf: str) -> DataFrame:
 def q_text_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """A5 text-metrics analog, regex-based (relational path; the byte-exact
     Python-semantics version lives in the UDF pipeline)."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     text = F.col("text")
     nonspace = F.length(F.regexp_replace(text, r"\s", ""))
     alnum = F.length(F.regexp_replace(text, "[^a-zA-Z0-9]", ""))
@@ -306,7 +306,7 @@ def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish subword tokens."""
     from ocr_obsidian_spark.operators.textstats import with_token_counts
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return with_token_counts(d).select(
         "doc_id",
         F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
@@ -477,7 +477,7 @@ def q_quality_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-scoring features (ratios rounded for FP-stable hashing)."""
     from ocr_obsidian_spark.operators.textstats import with_quality_score
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return with_quality_score(d).select(
         "doc_id",
         F.round("alpha_ratio", 6).alias("alpha_ratio"),
@@ -546,7 +546,7 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprint over normalized content."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     norm = F.lower(F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " ")))
     return d.select("doc_id", F.md5(norm).alias("fingerprint_md5"))
 
@@ -607,7 +607,7 @@ def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     new = _incremental_new_pop(spark, sf)
-    existing = _t(spark, sf, "documents").select("doc_id", "text")
+    existing = _t(spark, sf, "documents", spread=True).select("doc_id", "text")
     kept = drop_exact_duplicates_against(new, existing).select(
         F.lit("exact_kept").alias("variant"),
         F.col("doc_id").alias("a"),
@@ -659,7 +659,7 @@ def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 5 vectors (exact baseline)."""
     from ocr_obsidian_spark.operators.similarity import brute_force_topk
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings", spread=True)
     q = emb.filter(F.col("vec_id") < 5)
     return brute_force_topk(emb, q, k=5).select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
@@ -671,7 +671,7 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     (LSH-bucketed Spark path; oracle checks the same pair set exhaustively)."""
     from ocr_obsidian_spark.operators.similarity import embedding_near_duplicates
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings", spread=True)
     dup = emb.filter(F.col("vec_id") < 25).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
     )
@@ -689,7 +689,7 @@ def _semdedup_population(spark: SparkSession, sf: str) -> DataFrame:
     construction): assignment 8.2e-4, threshold 8.8e-4, every keep score
     ≥1.4e-9 from a rounding boundary — all astronomically above the
     ~1e-15 cross-engine float skew."""
-    emb = _t(spark, sf, "embeddings").select(
+    emb = _t(spark, sf, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     head = emb.filter(F.col("vec_id") < 25)
@@ -947,7 +947,7 @@ def q_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     the output is integer-only so no float formatting enters the hash."""
     from ocr_obsidian_spark.operators.similarity import lsh_topk
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings", spread=True)
     q = emb.filter(F.col("vec_id") < 5)
     return lsh_topk(emb, q, k=5, dim=64, n_bits=6, n_tables=8).select(
         "query_id", "neighbor_id", "rank"
@@ -962,7 +962,7 @@ def q_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     is pinned by tests/test_similarity.py."""
     from ocr_obsidian_spark.operators.similarity import ivf_topk, sample_centroids
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings", spread=True)
     cents = sample_centroids(emb, 8)
     q = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, q, cents, k=5, n_probe=8).select(
@@ -978,7 +978,7 @@ def q_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
 def _docs_with_urls(spark: SparkSession, sf: str) -> DataFrame:
     """documents + a deterministic synthetic url (source x doc_id%7 hosts) —
     the same expression is rebuilt in the DuckDB oracles."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     url = F.concat(
         F.lit("https://"),
         F.col("source"),
@@ -1093,7 +1093,7 @@ def q_url_canon(spark: SparkSession, sf: str) -> DataFrame:
     gclid-only query, clean) on an uppercased host with a default port."""
     from ocr_obsidian_spark.operators.webprep import canonicalize_url
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     noisy = d.select("doc_id", "source", _noisy_url(F.col("doc_id")).alias("url"))
     return canonicalize_url(noisy, out_col="canon_url").select(
         "doc_id", "canon_url"
@@ -1120,7 +1120,7 @@ def q_url_canon_idn(spark: SparkSession, sf: str) -> DataFrame:
     the query pins the expression chain + punycode-UDF composition."""
     from ocr_obsidian_spark.operators.webprep import canonicalize_url
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     host = F.lit(_IDN_FIXTURE_HOSTS[-1])
     for i, h in enumerate(_IDN_FIXTURE_HOSTS[:-1]):
         host = F.when(F.col("doc_id") % 5 == i, F.lit(h)).otherwise(host)
@@ -1312,7 +1312,7 @@ def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     500 docs → 334 kept."""
     from ocr_obsidian_spark.operators.webprep import drop_url_duplicates
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     # constant host (not per-doc source) so a pair's urls differ ONLY in
     # noise — the gclid/clean variant pairs must actually collide
     fixed = d.select("doc_id", F.lit("site").alias("source"))
@@ -1328,7 +1328,7 @@ def q_script_mix(spark: SparkSession, sf: str) -> DataFrame:
     or CJK appended by doc_id class."""
     from ocr_obsidian_spark.operators.textstats import with_script_mix
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     injected = d.select(
         "doc_id",
         F.concat(
@@ -1358,7 +1358,7 @@ def q_gopher_flags(spark: SparkSession, sf: str) -> DataFrame:
     non-trivial values."""
     from ocr_obsidian_spark.operators.textstats import with_gopher_flags
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     injected = d.select(
         "doc_id",
         F.concat(
@@ -1415,7 +1415,7 @@ def q_c4_filter(spark: SparkSession, sf: str) -> DataFrame:
     sentence that must survive."""
     from ocr_obsidian_spark.operators.webprep import c4_line_filter
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     injected = d.select(
         "doc_id",
         F.concat(
@@ -1438,7 +1438,7 @@ def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     every third doc alongside a unique paragraph that must survive."""
     from ocr_obsidian_spark.operators.webprep import drop_duplicated_lines
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     injected = d.select(
         "doc_id",
         F.concat(
@@ -1492,7 +1492,7 @@ def _host_edges(spark: SparkSession, sf: str) -> DataFrame:
     oracle rebuilds the same expressions (`_PR_EDGES_SQL`)."""
     from ocr_obsidian_spark.operators.xengine import md5_bucket
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     src = F.concat(
         F.col("source"), F.lit("-"),
         (F.col("doc_id") % 7).cast("string"), F.lit(".test"),
@@ -1554,7 +1554,7 @@ def q_quality_tiers(spark: SparkSession, sf: str) -> DataFrame:
         with_quality_tiers,
     )
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     scored = with_quality_score(d).withColumn(
         "q_score", F.round("quality_score", 6)
     )
@@ -1738,7 +1738,7 @@ def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     must survive."""
     from ocr_obsidian_spark.operators.webprep import drop_duplicated_lines
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     injected = d.select(
         "doc_id",
         F.concat(
@@ -1795,7 +1795,7 @@ def q_html_blocks(spark: SparkSession, sf: str) -> DataFrame:
     oracle replays the exact Java∩RE2 patterns in DuckDB."""
     from ocr_obsidian_spark.operators.htmltext import html_blocks
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return html_blocks(_synthetic_html(d)).select(
         "doc_id", "block_idx", "block_text", "n_chars", "link_chars",
         "link_density", "is_content",
@@ -1807,7 +1807,7 @@ def q_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     reassembled in order; nav/footer/script boilerplate must vanish."""
     from ocr_obsidian_spark.operators.htmltext import extract_main_content
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return extract_main_content(_synthetic_html(d)).select(
         "doc_id", "main_text", "n_blocks_kept", "n_blocks_dropped"
     )

@@ -12,21 +12,22 @@ the paper's keep rule, §3.1).
 This module is that recipe composed from the repo's existing
 100 TB-shaped pieces — nothing here is new plan machinery:
 
-  1. cell assignment = ``similarity.ivf_assign`` (map-only; K literal
-     centroid expressions under whole-stage codegen up to K=64, the
-     Arrow/numpy matmul path above — the same coarse quantizer IVF uses,
-     and SemDeDup's own clustering step). Centroids come from
+  1. cell assignment + centroid similarity (the keep-rule score) = ONE
+     map-only Arrow pass (``_assign_sim_udf``: a single (n × K) matmul
+     per batch — the numpy form of the coarse quantizer IVF uses, and
+     SemDeDup's own clustering step; round 6 replaced the K
+     zip_with/aggregate expression trees, which evaluate interpreted at
+     ~K·dim lambda steps per row). Centroids come from
      ``kmeans_centroids`` (seeded MLlib fit) in deployments and from the
      deterministic ``sample_centroids`` in the driver oracle;
-  2. centroid similarity (the keep-rule score) is one more map-side
-     expression — no shuffle;
-  3. within-cell candidate pairs = ``similarity.bucketed_candidate_pairs``
-     on the cell key: all-pairs only inside a bounded cell, and cells
-     above ``max_cell_size`` degrade to sorted-adjacent chaining instead
-     of O(m²) (components survive chaining for true duplicate clusters;
-     general pairs lost to the cap are reported via ``bucket_cap_stats``,
-     never silently). The exact-cosine verification joins vectors back
-     by id — only candidate rows, never the corpus square;
+  3. within-cell duplicate pairs = ``similarity.bucketed_cosine_pairs``
+     on the cell key: candidate generation and exact-cosine verification
+     fused into one blocked matmul per cell (round 6 — sub-threshold
+     pairs never materialize as rows), all-pairs only inside a bounded
+     cell, and cells above ``max_cell_size`` degrade to sorted-adjacent
+     chaining instead of O(m²) (components survive chaining for true
+     duplicate clusters; general pairs lost to the cap are reported via
+     ``bucket_cap_stats``, never silently);
   4. duplicate groups = ``dedup.pair_components`` (pointer doubling,
      O(log diameter) narrow self-joins);
   5. the keep rule is ONE row_number window over (component) ordered by
@@ -48,16 +49,12 @@ webprep.drop_duplicated_lines / substrdedup.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import pair_components
-from .similarity import (
-    _dot,
-    _norm,
-    bucketed_candidate_pairs,
-    cosine_similarity,
-    ivf_assign,
-)
+from .similarity import _dot, _norm, bucketed_cosine_pairs
 
 
 def _centroid_sim(centroids: list[list[float]], vec_col: str, cell_col: str) -> F.Column:
@@ -76,6 +73,50 @@ def _centroid_sim(centroids: list[list[float]], vec_col: str, cell_col: str) -> 
     own = F.element_at(cent_lit, F.col(cell_col) + 1)
     own_norm = F.element_at(norm_lit, F.col(cell_col) + 1)
     return _dot(F.col(vec_col), own) / (_norm(F.col(vec_col)) * own_norm)
+
+
+def _assign_sim_udf(centroids: list[list[float]]):
+    """Arrow-vectorized fused quantizer + keep-score: per batch ONE
+    (n × K) matmul yields both the nearest cell (expanded-form squared
+    distance, first-minimum tie rule — the same argmin contract as
+    ``similarity._ivf_assign_udf``) and the cosine to that own cell's
+    centroid (the SemDeDup keep score). Replaces K zip_with/aggregate
+    distance expressions + an element_at dot-product expression per row —
+    those higher-order functions evaluate interpreted, ~K·dim lambda
+    steps per row, and were the whole map-stage cost at K=32. Float
+    agreement with the expression path is ~1e-13 relative, far inside
+    the measured population margins (assignment 8.2e-4, keep-score
+    rounding distance ≥1.4e-9 — tests/test_semdedup.py)."""
+    cents = np.asarray(centroids, dtype=np.float64)  # (K, D)
+    cnorm2 = (cents * cents).sum(axis=1)
+    cnorm = np.sqrt(cnorm2)
+
+    from pyspark.sql import types as T
+
+    out_t = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("sim", T.DoubleType(), True),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def assign(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame(
+                {"cell": pd.Series([], dtype="int32"), "sim": pd.Series([], dtype="float64")}
+            )
+        mat = np.asarray(v.tolist(), dtype=np.float64)  # (n, D)
+        proj = mat @ cents.T  # (n, K)
+        cell = np.argmin(cnorm2 - 2.0 * proj, axis=1)
+        dots = np.take_along_axis(proj, cell[:, None], axis=1)[:, 0]
+        vnorm = np.sqrt((mat * mat).sum(axis=1))
+        denom = vnorm * cnorm[cell]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = dots / denom
+        return pd.DataFrame({"cell": cell.astype("int32"), "sim": sim})
+
+    return assign
 
 
 def _valid_embedding(vec_col: str, dim: int) -> F.Column:
@@ -117,19 +158,20 @@ def assign_semantic_cells(
             F.array_repeat(F.lit(0.0), dim)
         ),
     )
-    out = ivf_assign(base, centroids, vec_col="_safe", out_col=cell_col)
-    # score BEFORE masking the cell: the when() guard keeps the division
-    # off invalid rows, and the raw cell is a real index for all rows
+    # one fused Arrow pass computes (cell, keep-score) together — see
+    # _assign_sim_udf; the zero-substituted invalid rows produce a NaN
+    # score inside the UDF, masked to NULL here exactly like before
+    out = base.withColumn("_as", _assign_sim_udf(centroids)(F.col("_safe")))
     out = out.withColumn(
-        sim_col,
-        F.when(
-            F.col("_valid"), _centroid_sim(centroids, "_safe", cell_col)
-        ).otherwise(F.lit(None).cast("double")),
-    ).withColumn(
         cell_col,
-        F.when(F.col("_valid"), F.col(cell_col)).otherwise(F.lit(-1)),
+        F.when(F.col("_valid"), F.col("_as.cell")).otherwise(F.lit(-1)),
+    ).withColumn(
+        sim_col,
+        F.when(F.col("_valid"), F.col("_as.sim")).otherwise(
+            F.lit(None).cast("double")
+        ),
     )
-    return out.drop("_valid", "_safe")
+    return out.drop("_valid", "_safe", "_as")
 
 
 def _truncate(df: DataFrame, checkpoint: str) -> DataFrame:
@@ -180,15 +222,16 @@ def semantic_duplicate_pairs(
     keyed = assigned.select(F.col(id_col), F.col("_cell")).filter(
         F.col("_cell") >= 0
     )
-    cands = bucketed_candidate_pairs(keyed, id_col, ["_cell"], max_cell_size)
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
-        .select("id_a", "id_b")
-    )
+    # fused candidate+verify (similarity.bucketed_cosine_pairs): attach
+    # each valid row's vector to its narrow (id, cell) assignment and let
+    # one blocked matmul per cell produce exactly the >= threshold pairs —
+    # the cell self-join, the two vector join-backs and the per-pair
+    # interpreted HOF cosine all collapse into a single groupBy(cell)
+    # pass; over-cap cells keep the sorted-adjacent chaining contract.
+    withv = keyed.join(df.select(F.col(id_col), F.col(vec_col)), id_col)
+    return bucketed_cosine_pairs(
+        withv, id_col, ["_cell"], vec_col, threshold, max_cell_size
+    ).select("id_a", "id_b")
 
 
 def semantic_dedup_labels(

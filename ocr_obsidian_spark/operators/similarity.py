@@ -415,6 +415,87 @@ def bucketed_candidate_pairs(
     return pairs.distinct()
 
 
+def bucketed_cosine_pairs(
+    keyed: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    vec_col: str,
+    threshold: float,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """(id_a, id_b, cosine) — within-bucket pairs with cosine >= threshold,
+    computed per bucket group with one BLAS matmul (``applyInPandas``).
+
+    This is the fused form of ``bucketed_candidate_pairs`` + vector
+    join-back + per-pair cosine for callers whose verification IS cosine:
+    instead of materializing every candidate pair as a row (a same-bucket
+    self-join emits sum-of-bucket-sizes² rows, each then carrying TWO full
+    vectors through a join into an interpreted higher-order-function dot
+    product), each bucket's vectors are grouped once and the full cosine
+    matrix comes from a blocked numpy matmul — candidate pairs that fail
+    the threshold never exist as rows. Semantics are identical to the
+    unfused pipeline (pinned by tests/test_similarity.py +
+    test_semdedup.py): all-pairs (id_a < id_b) within a bucket, buckets
+    above ``max_bucket_size`` degrade to sorted-adjacent CHAINING exactly
+    like ``bucketed_candidate_pairs``, and the cosine is
+    dot/(norm·norm) in float64 (numpy's pairwise summation differs from
+    the expression fold only at ~1e-16 — far inside every call site's
+    measured decision margin). The one shuffle is the groupBy hash
+    exchange of (id, bucket, vec) rows.
+    """
+    id_type = keyed.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    cap = max_bucket_size
+    thr = float(threshold)
+    # bound the per-block gram matrix to ~32M float64 elements (~256 MB)
+    blk_elems = 1 << 25
+
+    def one_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        empty = pd.DataFrame(
+            {"id_a": ids[:0], "id_b": ids[:0], "cosine": np.empty(0)}
+        )
+        m = len(ids)
+        if m < 2:
+            return empty
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.asarray(
+            pdf[vec_col].to_numpy()[order].tolist(), dtype=np.float64
+        )
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        if cap is not None and m > cap:
+            # sorted-adjacent chaining (bucketed_candidate_pairs contract)
+            dots = (mat[:-1] * mat[1:]).sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (norms[:-1] * norms[1:])
+            keep = cos >= thr
+            return pd.DataFrame(
+                {"id_a": ids[:-1][keep], "id_b": ids[1:][keep], "cosine": cos[keep]}
+            )
+        outs = []
+        blk = max(1, blk_elems // m)
+        col_idx = np.arange(m)
+        for lo in range(0, m, blk):
+            hi = min(m, lo + blk)
+            g = mat[lo:hi] @ mat.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = g / (norms[lo:hi, None] * norms[None, :])
+            valid = (cos >= thr) & (col_idx[None, :] > np.arange(lo, hi)[:, None])
+            r, c = np.nonzero(valid)
+            if r.size:
+                outs.append(
+                    pd.DataFrame(
+                        {"id_a": ids[r + lo], "id_b": ids[c], "cosine": cos[r, c]}
+                    )
+                )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    return keyed.groupBy(*bucket_cols).applyInPandas(one_bucket, out_schema)
+
+
 def bucket_cap_stats(
     keyed: DataFrame, bucket_cols: list[str], max_bucket_size: int
 ) -> dict[str, int]:
@@ -466,21 +547,20 @@ def embedding_near_duplicates(
     """
     sig_udf = _table_signatures_udf(dim, n_bits, n_tables, seed)
     keyed = df.select(
-        F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("table", "sig")
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(sig_udf(F.col(vec_col))).alias("table", "sig"),
     )
-    cands = bucketed_candidate_pairs(keyed, id_col, ["table", "sig"], max_bucket_size)
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    # fused candidate+verify (see bucketed_cosine_pairs): per (table, sig)
+    # bucket one blocked matmul replaces the pair self-join + two vector
+    # joins + per-pair HOF cosine — sub-threshold candidates never become
+    # rows. A pair colliding in several tables is emitted once per table
+    # with the identical float64 cosine; dropDuplicates restores the
+    # distinct-pair contract of the unfused plan.
+    pairs = bucketed_cosine_pairs(
+        keyed, id_col, ["table", "sig"], vec_col, threshold, max_bucket_size
     )
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def near_dup_signature_frame(

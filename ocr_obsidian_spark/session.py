@@ -47,6 +47,26 @@ def build_session(
             str(arrow_max_records_per_batch),
         )
         .config("spark.ui.enabled", "false")
+        # Scan splits: the default 128 MB packs whole multi-row-group test
+        # tables (and, at scale, several moderate files) into one task.
+        # 16 MB keeps scan parallelism ≈ row groups for CPU-heavy-per-byte
+        # text work (regex/shingle/UDF stages dominate compute, not I/O);
+        # env-overridable for pure-I/O scans where bigger splits win.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
+        # AQE coalescing with the default 1 MB floor folds small shuffles
+        # of text rows to 1-5 partitions, serializing the CPU-heavy
+        # post-shuffle stages (shingle verify, regex chains). A 64 KB
+        # floor only changes the tiny-data-many-cores regime: with
+        # parallelismFirst (default true) AQE still targets
+        # defaultParallelism partitions at any real scale, so cluster
+        # behaviour is unchanged.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
         # reuse python workers across tasks: each fresh worker pays ~0.3-0.7
         # CPU-s of import/UDF-deserialize before its first row

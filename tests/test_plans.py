@@ -132,9 +132,12 @@ def test_ivf_assign_large_k_uses_arrow_eval(spark):
 def test_html_blocks_map_only_and_extract_single_shuffle(spark):
     import __spark_entry__ as e
 
-    # block features are a pure generator pipeline — no exchange at all
-    p = plan_str(e.q_html_blocks(spark, SF))
-    assert "Exchange" not in p
+    # block features are a pure generator pipeline — no exchange beyond
+    # the content-neutral round-robin input conditioning (_t spread=True,
+    # round 6: single-row-group test scans otherwise serialize the regex
+    # work; a real corpus scan arrives pre-partitioned and skips it)
+    p = plan_str(e.q_html_blocks(spark, SF), mode="simple")
+    assert p.count("Exchange") == p.count("Exchange RoundRobinPartitioning")
 
     # the document rebuild is ONE hash shuffle and NO restore join (empty
     # chunks ride through the aggregate, so every doc_id has a group)
@@ -315,9 +318,10 @@ def test_quality_clf_is_map_only(spark):
 
 def test_semdedup_assignment_is_map_only_and_no_cartesian(spark):
     """SemDeDup plan shape: cell assignment + centroid similarity are
-    pure map-side expressions (zero exchanges, zero python); the full
-    label pipeline contains no cartesian product anywhere — every pair
-    comes from the cell-key equi-join."""
+    ONE map-side Arrow pass (zero exchanges, exactly one ArrowEvalPython
+    — the round-6 fused matmul quantizer); the full label pipeline
+    contains no cartesian product anywhere — every pair comes from the
+    cell-key grouping."""
     from pyspark.sql import functions as F
 
     from ocr_obsidian_spark.operators.semdedup import (
@@ -330,7 +334,8 @@ def test_semdedup_assignment_is_map_only_and_no_cartesian(spark):
     )
     cents = [[float(i == j) for j in range(64)] for i in range(8)]
     p = plan_str(assign_semantic_cells(emb, cents), mode="simple")
-    assert "Exchange" not in p and "Python" not in p
+    assert "Exchange" not in p
+    assert p.count("ArrowEvalPython") == 1 and "BatchEvalPython" not in p
 
     full = plan_str(semantic_dedup_labels(emb, cents), mode="simple")
     assert "CartesianProduct" not in full and "BroadcastNestedLoop" not in full
