@@ -288,11 +288,16 @@ def q_text_metrics(spark: SparkSession, sf: str) -> DataFrame:
     Python-semantics version lives in the UDF pipeline)."""
     d = _t(spark, sf, "documents", spread=True)
     text = F.col("text")
-    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
-    alnum = F.length(F.regexp_replace(text, "[^a-zA-Z0-9]", ""))
-    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
-    garbage = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
-    pipes = F.length(text) - F.length(F.regexp_replace(text, r"\|", ""))
+    # counts via regexp_count (round 6): same values as the original
+    # length(regexp_replace(...)) forms — every counted class is a
+    # single-code-unit BMP char, so match count == kept/removed units —
+    # without allocating a rewritten string per row per feature
+    n_ws = F.regexp_count(text, F.lit(r"\s"))
+    nonspace = F.length(text) - n_ws
+    alnum = F.regexp_count(text, F.lit("[a-zA-Z0-9]"))
+    alpha = F.regexp_count(text, F.lit("[a-zA-Z]"))
+    garbage = F.length(text) - alnum - n_ws
+    pipes = F.length(text) - F.length(F.replace(text, F.lit("|"), F.lit("")))
     return d.select(
         "doc_id",
         F.length(text).cast("long").alias("char_count"),
@@ -1144,9 +1149,20 @@ def _crawlish_docs(spark: SparkSession, sf: str) -> DataFrame:
     into 12-word period-terminated lines and append one stopword-bearing
     closing line, so every gate (C4 lines, Gopher shape + stopwords,
     line/exact/near dedup) does real, corpus-proportional work.
-    spread=True because the downstream is UDF-heavy (lang NB +
-    repetition) and the sf scan is a single row group — see _t."""
-    d = _t(spark, sf, "documents", spread=True)
+
+    The shaped frame is lineage-truncated (round 6): CollapseProject
+    re-inlines the shape regex into every downstream gate expression
+    that references ``text`` (measured: 37 copies of the shape pattern
+    in the fused gate-chain plan — an exchange alone does not stop it,
+    the optimizer pulls the projection back through a round-robin
+    repartition), so the shape+url projection is materialized once
+    behind a checkpoint and every gate reads plain attributes.
+    Downstream is also UDF-heavy (lang NB + repetition) and the sf scan
+    is a single row group — the spread conditioning rides the same
+    materialization."""
+    from ocr_obsidian_spark.operators.xengine import truncate_lineage
+
+    d = _t(spark, sf, "documents")
     url = F.concat(
         F.lit("https://"),
         F.col("source"),
@@ -1156,7 +1172,11 @@ def _crawlish_docs(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").cast("string"),
     )
     d = d.withColumn("url", url)
-    return d.withColumn("text", crawl_shape(F.col("text")))
+    d = d.withColumn("text", crawl_shape(F.col("text")))
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    return truncate_lineage(d, "local")
 
 
 def crawl_shape(text: F.Column) -> F.Column:
@@ -1492,7 +1512,7 @@ def _host_edges(spark: SparkSession, sf: str) -> DataFrame:
     oracle rebuilds the same expressions (`_PR_EDGES_SQL`)."""
     from ocr_obsidian_spark.operators.xengine import md5_bucket
 
-    d = _t(spark, sf, "documents", spread=True)
+    d = _t(spark, sf, "documents")
     src = F.concat(
         F.col("source"), F.lit("-"),
         (F.col("doc_id") % 7).cast("string"), F.lit(".test"),

@@ -329,7 +329,7 @@ def classify_text_blocks(
 
     n_tok = F.size(F.col("_btoks"))
     n_chars = F.length("block_text")
-    n_alpha = F.length(F.regexp_replace("block_text", "[^a-z]", ""))
+    n_alpha = F.regexp_count("block_text", F.lit("[a-z]"))
     n_link_tok = F.size(
         F.filter(
             F.col("_btoks"),

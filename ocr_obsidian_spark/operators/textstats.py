@@ -42,7 +42,9 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = _norm(text_col)
     ws_tokens = F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(F.split(norm, " ")))
     subtoken_re = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
-    sub_tokens = F.size(F.regexp_extract_all(norm, F.lit(subtoken_re), 0))
+    # regexp_count == size(regexp_extract_all): same match count, no
+    # per-row array-of-strings materialization (round 6)
+    sub_tokens = F.regexp_count(norm, F.lit(subtoken_re))
     return df.withColumn("n_ws_tokens", ws_tokens).withColumn("n_subword_tokens", sub_tokens)
 
 
@@ -54,8 +56,10 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     norm = _norm(text_col)
     n = F.greatest(F.length(norm), F.lit(1))
-    n_alpha = F.length(F.regexp_replace(norm, r"[^a-z]", ""))
-    n_punct = F.length(F.regexp_replace(norm, r"[a-z0-9 ]", ""))
+    # counting via regexp_count (round 6): identical values (every
+    # counted class char is one BMP code unit), no rewritten-string alloc
+    n_alpha = F.regexp_count(norm, F.lit("[a-z]"))
+    n_punct = F.length(norm) - F.regexp_count(norm, F.lit("[a-z0-9 ]"))
     words = F.split(norm, " ")
     n_words = F.greatest(F.size(words), F.lit(1))
     n_stop = F.size(F.filter(words, lambda w: w.isin(_STOPWORDS)))
@@ -158,7 +162,7 @@ def with_gopher_flags(
     )
     n_lines = F.greatest(F.size("_lines"), F.lit(1))
     n_words = F.greatest(F.size("_toks"), F.lit(1))
-    n_hash = F.length(F.regexp_replace(raw, "[^#]", ""))
+    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
     # occurrences of the two ellipsis spellings, via length deltas
     n_dots = (F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))) / 3
     n_uni = F.length(raw) - F.length(F.replace(raw, F.lit("…"), F.lit("")))
@@ -239,7 +243,7 @@ def with_script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
     raw = F.coalesce(F.col(text_col), F.lit(""))
     n = F.greatest(F.length(raw), F.lit(1))
     counts = {
-        name: F.length(F.regexp_replace(raw, "[^" + rng + "]", ""))
+        name: F.regexp_count(raw, F.lit("[" + rng + "]"))
         for name, rng in _SCRIPT_RANGES.items()
     }
     out = df
