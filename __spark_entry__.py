@@ -888,20 +888,42 @@ def q_simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def _lsh_verified(spark: SparkSession, sf: str):
+    """Shared LSH-verified >=0.8-Jaccard pair pipeline (round 6): the
+    candidate table is materialized once (localCheckpoint) and its id set
+    broadcast-semi-join-filters the corpus BEFORE the verification shingle
+    arrays are built — previously the full corpus paid the shingle
+    computation twice more (sa and sb) just to feed the candidate join.
+    Returns (docs, verified_pairs); the pair set is unchanged."""
+    from ocr_obsidian_spark.operators.dedup import (
+        minhash_lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+    from ocr_obsidian_spark.operators.xengine import truncate_lineage
+
+    docs = _docs_with_dups(spark, sf, spread=True)
+    cands = truncate_lineage(minhash_lsh_candidate_pairs(docs), "local")
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    pairs = ngram_jaccard_pairs(
+        cand_docs, threshold=0.8, candidate_pairs=cands
+    )
+    return docs, pairs
+
+
 def q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """n-gram Jaccard >= 0.8 over LSH candidates (the 100 TB path:
     candidate-restricted array_intersect verification). Oracled against the
     UNRESTRICTED exact-Jaccard SQL: the LSH candidate set provably contains
     every >=0.8 pair on this corpus (see q_minhash_pairs), so the filtered
     output must equal the exhaustive pair set, values included."""
-    from ocr_obsidian_spark.operators.dedup import (
-        minhash_lsh_candidate_pairs,
-        ngram_jaccard_pairs,
-    )
-
-    docs = _docs_with_dups(spark, sf, spread=True)
-    cands = minhash_lsh_candidate_pairs(docs)
-    return ngram_jaccard_pairs(docs, threshold=0.8, candidate_pairs=cands).select(
+    _, pairs = _lsh_verified(spark, sf)
+    return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
@@ -912,16 +934,9 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     >=0.8-Jaccard pair graph. Oracle: DuckDB recursive-CTE transitive
     closure over the same exhaustive pair set — every node must resolve to
     the minimum id reachable in its component."""
-    from ocr_obsidian_spark.operators.dedup import (
-        minhash_lsh_candidate_pairs,
-        ngram_jaccard_pairs,
-        pair_components,
-    )
+    from ocr_obsidian_spark.operators.dedup import pair_components
 
-    docs = _docs_with_dups(spark, sf, spread=True)
-    pairs = ngram_jaccard_pairs(
-        docs, threshold=0.8, candidate_pairs=minhash_lsh_candidate_pairs(docs)
-    )
+    _, pairs = _lsh_verified(spark, sf)
     return pair_components(pairs).select(
         F.col("node").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
@@ -932,16 +947,9 @@ def q_near_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end near-dedup resolution: candidates → verified >=0.8
     Jaccard pairs → connected components → min-id survivors. The oracle
     recomputes the keep-list from the recursive-CTE component closure."""
-    from ocr_obsidian_spark.operators.dedup import (
-        drop_near_duplicates,
-        minhash_lsh_candidate_pairs,
-        ngram_jaccard_pairs,
-    )
+    from ocr_obsidian_spark.operators.dedup import drop_near_duplicates
 
-    docs = _docs_with_dups(spark, sf, spread=True)
-    pairs = ngram_jaccard_pairs(
-        docs, threshold=0.8, candidate_pairs=minhash_lsh_candidate_pairs(docs)
-    )
+    docs, pairs = _lsh_verified(spark, sf)
     return drop_near_duplicates(docs, pairs).select("doc_id")
 
 

@@ -68,11 +68,15 @@ def apply_printed_page_mode(
     driver; size to your driver memory)."""
     nulls = roman_null_set(corpus, cfg).withColumn("_null_roman", F.lit(True))
     if broadcast_nulls is None:
-        # count an UNPERSISTED plan: the join recomputes the narrow window
-        # once more, which is cheaper than it sounds (five thin columns)
-        # and leak-free — a persist() here would stay cached for the
-        # session lifetime, since this function never sees the caller's
-        # first action and so has nowhere safe to unpersist
+        # materialize the (sparse by construction) null set ONCE behind a
+        # localCheckpoint (round 6): the sizing count then reads the
+        # truncated blocks and the join broadcasts the same blocks, so
+        # the narrow window pass executes exactly once instead of twice
+        # (count + join recompute). Leak-free unlike persist(): truncated
+        # blocks are dropped with the RDD, no session-lifetime cache.
+        from .xengine import truncate_lineage
+
+        nulls = truncate_lineage(nulls, "local")
         broadcast_nulls = nulls.count() <= max_broadcast_nulls
     if broadcast_nulls:
         nulls = F.broadcast(nulls)

@@ -191,8 +191,23 @@ def prepare_web_corpus(
     if checkpoint:
         out = truncate_lineage(out, checkpoint)
     cands = minhash_lsh_candidate_pairs(out, text_col, id_col, num_hashes, bands)
+    ver_src = out
+    if checkpoint:
+        # decide-with-small-rows (round 6, same shape as
+        # dedup.near_duplicate_matches_against): materialize the sparse
+        # candidate table once and broadcast-semi-join-filter the corpus
+        # before the verification shingle arrays are built — otherwise
+        # the full corpus pays the shingle computation twice more (sa and
+        # sb) just to feed the candidate join.
+        cands = truncate_lineage(cands, checkpoint)
+        cand_ids = (
+            cands.select(F.col("id_a").alias(id_col))
+            .union(cands.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        ver_src = out.join(F.broadcast(cand_ids), id_col, "left_semi")
     pairs = ngram_jaccard_pairs(
-        out, text_col, id_col, threshold=jaccard_threshold, candidate_pairs=cands
+        ver_src, text_col, id_col, threshold=jaccard_threshold, candidate_pairs=cands
     )
     out = mark(
         "near_dedup", drop_near_duplicates(out, pairs, id_col, keep_by=keep_by)

@@ -57,18 +57,26 @@ def test_mode_window_shuffles_narrow_and_broadcasts_nulls(spark, pages_df, tmp_p
     from ocr_obsidian_spark.operators.extract import extract_pages
     from ocr_obsidian_spark.operators.printed_page import apply_printed_page_mode
 
+    from ocr_obsidian_spark.operators.printed_page import roman_null_set
+
     path = str(tmp_path / "corpus")
     extract_pages(pages_df).write.parquet(path)
     corpus = spark.read.parquet(path)
     p = plan_str(apply_printed_page_mode(corpus))
-    # the null set joins back by broadcast — wide rows never shuffle for it
+    # the null set joins back by broadcast — wide rows never shuffle for it.
+    # Round 6: the null set is checkpointed (the window pass runs once,
+    # shared by the sizing count and the join), so the broadcast side is
+    # the truncated scan, not a re-planned window subtree.
     assert "BroadcastExchange" in p
-    # the window branch scans only the five narrow detection columns
+    assert "ExistingRDD" in p or "LogicalRDD" in p
+    # the window branch itself scans only the five narrow detection columns
+    pn = plan_str(roman_null_set(corpus))
     narrow_reads = [
         seg.splitlines()[0]
-        for seg in p.split("ReadSchema")[1:]
+        for seg in pn.split("ReadSchema")[1:]
         if "printed_page_kind" in seg.splitlines()[0]
     ]
+    assert narrow_reads
     assert any("lines_json" not in seg and "raw_text" not in seg for seg in narrow_reads)
 
 
