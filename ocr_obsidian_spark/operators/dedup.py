@@ -448,31 +448,51 @@ def drop_near_duplicates(
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash bigint): sign-sum of token-hash bits, fully relational.
+    """(id, simhash bigint): sign-sum of token-hash bits, MAP-ONLY.
 
-    Explode tokens, hash each with xxhash64, and for each of the 64 bit
-    positions sum +1/-1; the fingerprint sets bit i when the sum is
-    positive. One shuffle (groupBy id with 64 partial-aggregated sums).
+    One JVM ``xxhash64`` per token (inside the tokens array — same hash,
+    same multiset of per-occurrence votes as the original explode
+    formulation), then the 64 sign-sums are computed per document in one
+    vectorized Arrow pass. Round 6 replaced the (doc, token) explode +
+    64-partial-sum groupBy: that shuffled every token occurrence and
+    evaluated 64 conditional aggregates per token row; this computes the
+    identical fingerprints — integer vote counts, the same ``sum > 0``
+    bit rule, the same bit-63 two's-complement wrap — with zero
+    shuffles (the minhash_signatures shape).
     """
-    toks = df.select(
+
+    @F.pandas_udf(T.LongType())
+    def fingerprint(hs: pd.Series) -> pd.Series:
+        if len(hs) == 0:
+            return pd.Series([], dtype="int64")
+        lens = np.fromiter((len(a) for a in hs), dtype=np.int64, count=len(hs))
+        # split() always yields >= 1 token per row, so every doc votes
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in hs]
+        ).view(np.uint64)
+        starts = np.zeros(len(hs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        fp = np.zeros(len(hs), dtype=np.uint64)
+        # 16 bit positions per slice bounds the (tokens x bits) transient
+        for lo in range(0, 64, 16):
+            shifts = np.arange(lo, lo + 16, dtype=np.uint64)
+            bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            cnt = np.add.reduceat(bits, starts, axis=0)
+            set_bits = (2 * cnt - lens[:, None]) > 0
+            fp |= np.bitwise_or.reduce(
+                set_bits.astype(np.uint64) << shifts[None, :], axis=1
+            )
+        return pd.Series(fp.view(np.int64))
+
+    base = df.select(
         F.col(id_col),
-        F.explode(F.split(normalized_text(text_col), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b_{i}")
-        for i in range(64)
-    ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
-
-    fingerprint = None
-    for i in range(64):
-        bit = F.when(F.col(f"b_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
-    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+        F.transform(
+            F.split(normalized_text(text_col), " "), lambda t: F.xxhash64(t)
+        ).alias("hs"),
+    )
+    return base.select(F.col(id_col), fingerprint(F.col("hs")).alias("simhash"))
 
 
 def simhash64_md5(

@@ -288,8 +288,17 @@ def with_language(
     staged = df.withColumn("lang_marker", pick).withColumn(
         "_confident", best >= int(min_marker_hits)
     )
+    # confident rows ship NULL instead of their full normalized text —
+    # the scorer is skipped for them anyway, so the Arrow transfer only
+    # carries the undecided minority (round 6; identical outputs)
     staged = staged.withColumn(
-        "_nb", nb(_norm(text_col), F.col("_confident"))
+        "_nb",
+        nb(
+            F.when(~F.col("_confident"), _norm(text_col)).otherwise(
+                F.lit(None).cast("string")
+            ),
+            F.col("_confident"),
+        ),
     )
     return (
         staged.withColumn("lang_nb", F.col("_nb.lang"))

@@ -65,6 +65,7 @@ def drop_duplicated_substrings(
     min_docs: int = 2,
     out_col: str | None = None,
     anchor_hash: str = "xxhash64",
+    checkpoint: str | None = "local",
 ) -> DataFrame:
     """Remove every ``width``-word shingle (and thus every shared passage
     of >= ``width`` words) that appears in >= ``min_docs`` distinct
@@ -120,6 +121,15 @@ def drop_duplicated_substrings(
     occ = words.select(
         F.col(id_col), F.posexplode(shingles).alias("_pos", "_h")
     )
+    if checkpoint:
+        # the (id, pos, hash) table feeds BOTH the duplicate-hash groupBy
+        # and the coverage semi-join; without a boundary each branch
+        # re-runs the normalize + split + shingle-hash transform over the
+        # whole corpus (round 6: materialize the narrow table once —
+        # ``checkpoint=None`` restores the fully-lazy plan)
+        from .xengine import truncate_lineage
+
+        occ = truncate_lineage(occ, checkpoint)
     dup = (
         occ.groupBy("_h")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
