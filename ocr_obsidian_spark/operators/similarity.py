@@ -39,6 +39,29 @@ def cosine_similarity(a: F.Column, b: F.Column) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _pair_cosine_udf():
+    """Row-wise cosine over two equal-dim array columns, Arrow-batched:
+    one numpy pass per batch replaces the zip_with+aggregate expression
+    trees, which evaluate interpreted at ~3·dim lambda steps per row
+    (round 6 — the scoring stage of every top-k path). float64 like the
+    expression form; numpy's pairwise summation differs only at ~1e-16,
+    inside every call site's measured rank margin (lsh_ann: 4.9e-6)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def pc(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.asarray(a.tolist(), dtype=np.float64)
+        mb = np.asarray(b.tolist(), dtype=np.float64)
+        dots = (ma * mb).sum(axis=1)
+        na = np.sqrt((ma * ma).sum(axis=1))
+        nb = np.sqrt((mb * mb).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(dots / (na * nb))
+
+    return pc
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -65,7 +88,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            _pair_cosine_udf()(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -164,7 +187,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            _pair_cosine_udf()(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -323,35 +346,25 @@ def ivf_topk(
 
     Scale shape: assignment is map-only; the probe join is an equi-join on
     cell id, so candidate generation is linear and the per-query candidate
-    set is |corpus| * n_probe / K. Both the corpus quantizer and the
-    query-side probe ranking switch to the Arrow-batched matmul above
-    ``IVF_EXPR_MAX_K`` centroids (see ``ivf_assign``) — the expression
-    forest below is kept only for the oracle-stable small-K path.
+    set is |corpus| * n_probe / K. Round 6: both the corpus quantizer and
+    the query-side probe ranking use the Arrow-batched matmul at EVERY K
+    (``_ivf_assign_udf``) — the small-K expression forest evaluated
+    interpreted at ~K·dim lambda steps per row, and the vectorized path
+    is tie-compatible by construction (stable argsort == the
+    (distance, cell) struct sort; pinned by
+    test_ivf_assign_vectorized_agrees_with_expression_path). The
+    expression path remains available via ``ivf_assign(method=
+    "expression")`` for plan-shape comparisons.
     """
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
-        centroids, vec_col="c_vec", out_col="cell",
+        centroids, vec_col="c_vec", out_col="cell", method="vectorized",
     )
     # per-query probe cells: rank centroid distances, keep n_probe
     qd = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    if len(centroids) > IVF_EXPR_MAX_K:
-        probes = _ivf_assign_udf(centroids, min(n_probe, len(centroids)))(
-            F.col("q_vec")
-        )
-    else:
-        probe_cols = []
-        for i, cent in enumerate(centroids):
-            lit = F.array(*[F.lit(float(v)) for v in cent])
-            d2 = F.aggregate(
-                F.zip_with(F.col("q_vec"), lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            probe_cols.append(F.struct(d2.alias("d"), F.lit(i).alias("cell")))
-        probes = F.transform(
-            F.slice(F.array_sort(F.array(*probe_cols)), 1, n_probe),
-            lambda p: p["cell"],
-        )
+    probes = _ivf_assign_udf(centroids, min(n_probe, len(centroids)))(
+        F.col("q_vec")
+    )
     q = F.broadcast(
         qd.select("query_id", "q_vec", F.explode(probes).alias("cell"))
     )
@@ -361,7 +374,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            _pair_cosine_udf()(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

@@ -107,14 +107,27 @@ def drop_duplicated_substrings(
     )
 
     # anchor hashes, built map-side: _ws is a materialized column (NOT an
-    # inline split() expression) so the HOF lambda captures a cheap
-    # attribute — an expression subtree would re-evaluate per element
+    # inline split() expression) so the HOF lambdas capture a cheap
+    # attribute. Anchors come from ``width`` parallel slice views zipped
+    # element-wise (round 6, the word_shingles construction): anchor i is
+    # hash(concat_ws(" ", _ws[i..i+width-1])) — the identical string the
+    # per-index array_join(slice(...)) form hashed, with ``width`` slices
+    # per document instead of one fresh subarray per anchor position.
     empty_type = "array<string>" if anchor_hash == "md5" else "array<bigint>"
+    n_ws = F.size("_ws")
+    zipped = F.arrays_zip(
+        *[
+            F.slice("_ws", j + 1, n_ws - width + 1).alias(f"w{j}")
+            for j in range(width)
+        ]
+    )
     shingles = F.when(
-        F.size("_ws") >= width,
+        n_ws >= width,
         F.transform(
-            F.sequence(F.lit(0), F.size("_ws") - width),
-            lambda i: hash_fn(F.array_join(F.slice("_ws", i + 1, width), " ")),
+            zipped,
+            lambda s: hash_fn(
+                F.concat_ws(" ", *[s[f"w{j}"] for j in range(width)])
+            ),
         ),
     ).otherwise(F.array().cast(empty_type))
 
