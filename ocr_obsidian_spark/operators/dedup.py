@@ -151,22 +151,25 @@ def minhash_banded_buckets(
     (exposed so call sites can run ``bucket_cap_stats`` on the same keys)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    # bucket = xxhash64 over the band's signature values DIRECTLY
+    # (round 6): bucket ids are internal join keys — two docs co-bucket
+    # iff their band slice is equal, which holds for any injective-w.h.p.
+    # hash of the slice — so the old stringify+join+hash per band
+    # (rows_per_band string casts + a comma join each) is pure overhead.
+    def band_bucket(b: F.Column) -> F.Column:
+        return F.xxhash64(
+            F.lit("band"),
+            b,
+            *[
+                F.element_at(F.col("minhash"), b * rows_per_band + j + 1)
+                for j in range(rows_per_band)
+            ],
+        )
+
     return sig.select(
         F.col(id_col),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.lit("band"), b,
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                        ",",
-                    ),
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_bucket)
         ).alias("band", "bucket"),
     )
 
