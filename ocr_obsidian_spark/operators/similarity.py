@@ -187,7 +187,12 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            _pair_cosine_udf()(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            # expression cosine on purpose: lsh candidate volume is
+            # Q × bucket-size (thousands), where the Arrow round-trip's
+            # fixed cost exceeds the interpreted-HOF cost it saves
+            # (measured 1.19 -> 1.68 s with the UDF at sf1.0 — reverted);
+            # the high-volume scorers (brute-force, IVF) use the UDF
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
