@@ -39,6 +39,11 @@ _KEEP_SHORT_ALPHA = frozenset({"I", "A", "a"})
 
 def normalize_spaces(text: str) -> str:
     """Collapse all whitespace runs to single spaces and trim."""
+    # fast path: no \s char anywhere ⇒ sub is identity AND strip is
+    # identity (CPython's re \s and str.isspace() share the same unicode
+    # whitespace predicate, so "no \s match" ⇒ nothing for strip to trim)
+    if _WS.search(text) is None:
+        return text
     return _WS.sub(" ", text).strip()
 
 
@@ -108,6 +113,7 @@ def clean_line(line: dict[str, Any]) -> str:
         # minus the intermediate tuple-list build (hot: ~60 words/line ×
         # every page). The float() stays eager — a non-floatable
         # confidence must raise exactly like the tolerant-read contract.
+        all_fast = True
         for w in words:
             raw = str(w.get("text", ""))
             conf = float(w.get("confidence", 100.0))
@@ -123,8 +129,15 @@ def clean_line(line: dict[str, Any]) -> str:
                 token = raw
             else:
                 token = normalize_spaces(raw).strip("|\\()")
+            all_fast = False
             if token and not token_is_junk(token, conf):
                 kept.append(token)
+        if all_fast:
+            # every token took the alnum fast path: the join has no
+            # whitespace runs to collapse, no '|' entries to filter, and
+            # the line-level rejections can't fire on alnum text — the
+            # tail below is provably identity (kept is non-empty here)
+            return " ".join(kept)
     else:
         for raw in str(line.get("text", "")).split():
             if raw.isalnum():
