@@ -1466,7 +1466,7 @@ def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     every third doc alongside a unique paragraph that must survive."""
     from ocr_obsidian_spark.operators.webprep import drop_duplicated_lines
 
-    d = _t(spark, sf, "documents", spread=True)
+    d = _t(spark, sf, "documents")
     injected = d.select(
         "doc_id",
         F.concat(
@@ -1766,7 +1766,7 @@ def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     must survive."""
     from ocr_obsidian_spark.operators.webprep import drop_duplicated_lines
 
-    d = _t(spark, sf, "documents", spread=True)
+    d = _t(spark, sf, "documents")
     injected = d.select(
         "doc_id",
         F.concat(
