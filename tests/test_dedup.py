@@ -417,3 +417,67 @@ def test_drop_near_duplicates_null_score_never_wins(spark):
             ).collect()
         }
         assert kept == {2}, desc
+
+
+def test_word_shingles_zip_form_equals_per_index_form(docs):
+    """Round-6 internals pin: the zip-of-k-slices shingle construction is
+    bit-equal to the original per-index array_join(slice(toks, i+1, k))
+    form — for the default k=3 AND a wide k=8 — on the real corpus
+    (including the short-doc fallback branch)."""
+    from ocr_obsidian_spark.operators.dedup import normalized_text, word_shingles
+
+    def per_index(text_col, k):
+        toks = F.split(normalized_text(text_col), " ")
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(
+            n >= k,
+            F.array_distinct(
+                F.transform(
+                    idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+                )
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+
+    for k in (3, 8):
+        both = docs.select(
+            word_shingles("text", k).alias("new"),
+            per_index("text", k).alias("old"),
+        )
+        assert both.filter(F.col("new") != F.col("old")).count() == 0
+
+
+def test_simhash64_map_only_equals_explode_groupby_form(docs):
+    """Round-6 internals pin: the map-only Arrow sign-sum simhash64
+    reproduces the original explode + 64-conditional-sum groupBy
+    formulation bit-for-bit (same per-occurrence xxhash64 votes, same
+    sum>0 bit rule, same bit-63 two's-complement wrap)."""
+    from ocr_obsidian_spark.operators.dedup import normalized_text, simhash64
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(normalized_text("text"), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for i in range(64):
+        bit = (
+            F.when(F.col(f"b_{i}") > 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    ref = {
+        r["doc_id"]: r["simhash"]
+        for r in agg.select("doc_id", fp.alias("simhash")).collect()
+    }
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert got == ref
